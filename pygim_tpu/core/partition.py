@@ -1,0 +1,210 @@
+"""Partition planning: nnz/row-balanced row blocks with static padded shapes.
+
+TPU-native analog of the reference's two-level load balancing
+(backend_pim/spmm_default/support/partition.c):
+
+* DPU-level ``partition_by_row_csr`` (partition.c:14-44) and row-granular
+  ``partition_by_nnz_csr`` (partition.c:51-99)  →  :func:`plan_row_blocks`
+  with ``balance='row'|'nnz'``.
+* Tasklet-level splits incl. mid-row nnz cuts (partition.c:231-261) →
+  :meth:`RowBlockPlan.build_ell` pads every block to one static nnz budget,
+  and rows that would straddle blocks are reconciled by a segmented
+  reduction in the kernel, never by locks (SURVEY.md §5.2).
+
+Where the reference realloc's each matrix to padded per-DPU strides
+(spmm_mul_csr.c:152-246), we emit dense ``(n_blocks, ...)`` NumPy tables —
+one static shape for the whole grid, which is what XLA/Pallas needs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from pygim_tpu.core.graph import INDEX_DTYPE, CooGraph, CsrGraph, column_split_bounds
+
+
+def round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def plan_row_blocks(
+    rowptr: np.ndarray, n_blocks: int, balance: str = "nnz"
+) -> np.ndarray:
+    """Return row boundaries ``bounds`` of shape (n_blocks+1,) so block *b*
+    owns rows ``[bounds[b], bounds[b+1])``.
+
+    ``balance='row'``: equal row counts (partition_by_row_csr analog).
+    ``balance='nnz'``: row-granular equal-nnz scan — each boundary is placed
+    where the running nnz count first reaches ``b * nnz/n_blocks``
+    (partition_by_nnz_csr analog, partition.c:51-99), vectorized with
+    ``searchsorted`` instead of a serial scan.
+    """
+    nrows = rowptr.shape[0] - 1
+    if n_blocks <= 0:
+        raise ValueError("n_blocks must be positive")
+    if balance == "row":
+        bounds = np.linspace(0, nrows, n_blocks + 1).round().astype(np.int64)
+    elif balance == "nnz":
+        nnz = int(rowptr[-1])
+        targets = (np.arange(1, n_blocks, dtype=np.int64) * nnz) // n_blocks
+        cuts = np.searchsorted(rowptr[1:], targets, side="left") + 1
+        bounds = np.concatenate(([0], cuts, [nrows])).astype(np.int64)
+        bounds = np.maximum.accumulate(np.minimum(bounds, nrows))
+    else:
+        raise ValueError(f"unknown balance policy {balance!r}")
+    return bounds.astype(INDEX_DTYPE)
+
+
+@dataclasses.dataclass(frozen=True)
+class RowBlockPlan:
+    """A static row-block partition of one CSR operand.
+
+    ``bounds``        (n_blocks+1,) row boundaries.
+    ``rows_pad``      static per-block row capacity (max rows, aligned).
+    ``nnz_pad``       static per-block nnz capacity (max nnz, aligned).
+    """
+
+    bounds: np.ndarray
+    rows_pad: int
+    nnz_pad: int
+    balance: str
+
+    @property
+    def n_blocks(self) -> int:
+        return int(self.bounds.shape[0]) - 1
+
+    @property
+    def rows_per_block(self) -> np.ndarray:
+        return np.diff(self.bounds)
+
+
+def make_row_block_plan(
+    csr: CsrGraph,
+    n_blocks: int,
+    balance: str = "nnz",
+    *,
+    row_align: int = 8,
+    nnz_align: int = 8,
+) -> RowBlockPlan:
+    """Plan + compute static paddings. ``row_align`` defaults to the f32
+    sublane count (8); the reference's analogous ``granularity = 8/byte_dt``
+    8-byte alignment is at partition.c:154-179 / spmm_mul_csr.c:171-189."""
+    bounds = plan_row_blocks(csr.rowptr, n_blocks, balance)
+    rows_per_block = np.diff(bounds)
+    nnz_per_block = csr.rowptr[bounds[1:]] - csr.rowptr[bounds[:-1]]
+    rows_pad = round_up(max(int(rows_per_block.max(initial=0)), 1), row_align)
+    nnz_pad = round_up(max(int(nnz_per_block.max(initial=0)), 1), nnz_align)
+    return RowBlockPlan(
+        bounds=bounds, rows_pad=rows_pad, nnz_pad=nnz_pad, balance=balance
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class EllBlocks:
+    """Padded per-block ELL-style tables, all statically shaped.
+
+    ``colind``  (n_blocks, nnz_pad) int32 — padding entries point at col 0.
+    ``vals``    (n_blocks, nnz_pad) — padding entries are 0 (harmless FMA).
+    ``rowloc``  (n_blocks, nnz_pad) int32 — block-local destination row of
+                each nnz; padding targets the last padded row (masked out).
+    ``row_start`` (n_blocks,) int32 — global row offset of each block.
+    ``rows_pad``, ``nnz_pad`` — the static capacities.
+    ``nrows``   logical row count of the full operand.
+    """
+
+    colind: np.ndarray
+    vals: np.ndarray
+    rowloc: np.ndarray
+    row_start: np.ndarray
+    rows_pad: int
+    nnz_pad: int
+    nrows: int
+    ncols: int
+
+
+def build_ell_blocks(csr: CsrGraph, plan: RowBlockPlan) -> EllBlocks:
+    """Materialize the padded block tables for ``csr`` under ``plan``.
+
+    This is the analog of the reference's prepare step
+    (``prepare_pim_csr``, spmm_mul_csr.c:118-258): slice per block, pad to
+    the common static capacity. Unlike the reference no per-tasklet split
+    tables are needed — the kernel's inner vectorization replaces tasklets.
+    """
+    nb = plan.n_blocks
+    colind = np.zeros((nb, plan.nnz_pad), dtype=INDEX_DTYPE)
+    vals = np.zeros((nb, plan.nnz_pad), dtype=csr.vals.dtype)
+    # padding rowloc targets rows_pad-1; combined with val=0 the padded FMA
+    # writes 0 into a real accumulator slot — harmless, no masking needed.
+    rowloc = np.full((nb, plan.nnz_pad), plan.rows_pad - 1, dtype=INDEX_DTYPE)
+    row_start = plan.bounds[:-1].astype(INDEX_DTYPE)
+    rowptr = csr.rowptr
+    rows_of_nnz = np.repeat(
+        np.arange(csr.nrows, dtype=np.int64), np.diff(rowptr)
+    )
+    for b in range(nb):
+        r0, r1 = int(plan.bounds[b]), int(plan.bounds[b + 1])
+        e0, e1 = int(rowptr[r0]), int(rowptr[r1])
+        k = e1 - e0
+        colind[b, :k] = csr.colind[e0:e1]
+        vals[b, :k] = csr.vals[e0:e1]
+        rowloc[b, :k] = rows_of_nnz[e0:e1] - r0
+    return EllBlocks(
+        colind=colind, vals=vals, rowloc=rowloc, row_start=row_start,
+        rows_pad=plan.rows_pad, nnz_pad=plan.nnz_pad,
+        nrows=csr.nrows, ncols=csr.ncols,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class CooChunks:
+    """Exact-nnz COO chunking with mid-row cuts allowed — the analog of
+    ``partition_tsklt_by_nnz_coo`` (partition.c:231-261). Rows straddling
+    chunk boundaries are merged by the caller's segmented reduction
+    (no CG_LOCK/LOCKFREE variants needed under XLA, SURVEY.md §5.2).
+
+    ``rows``/``cols``/``vals``: (n_chunks, chunk_nnz) padded; padding has
+    val 0 and row/col 0.
+    """
+
+    rows: np.ndarray
+    cols: np.ndarray
+    vals: np.ndarray
+    n_chunks: int
+    chunk_nnz: int
+    nrows: int
+    ncols: int
+
+
+def build_coo_chunks(
+    coo: CooGraph, n_chunks: int, *, nnz_align: int = 8
+) -> CooChunks:
+    s = coo.sort_by_row()
+    chunk_nnz = round_up(max(-(-coo.nnz // n_chunks), 1), nnz_align)
+    total = chunk_nnz * n_chunks
+    pad = total - coo.nnz
+    rows = np.concatenate([s.rows, np.zeros(pad, dtype=INDEX_DTYPE)])
+    cols = np.concatenate([s.cols, np.zeros(pad, dtype=INDEX_DTYPE)])
+    vals = np.concatenate([s.vals, np.zeros(pad, dtype=s.vals.dtype)])
+    return CooChunks(
+        rows=rows.reshape(n_chunks, chunk_nnz),
+        cols=cols.reshape(n_chunks, chunk_nnz),
+        vals=vals.reshape(n_chunks, chunk_nnz),
+        n_chunks=n_chunks, chunk_nnz=chunk_nnz,
+        nrows=coo.nrows, ncols=coo.ncols,
+    )
+
+
+def split_columns(graph, sp_parts: int):
+    """Sparse-dim split (``sp_parts``): A by columns; partial products must
+    be summed — reference merges on host (memadd_2D, spmm_mul_csr.c:497-506),
+    we ``psum`` over the ``sp`` mesh axis instead."""
+    return graph.col_split(sp_parts)
+
+
+def split_features(hidden: int, ds_parts: int) -> list[tuple[int, int]]:
+    """Dense/feature-dim split (``ds_parts``): equal widths, remainder in the
+    last part — same convention as spmm.py:59-63 ``h_size``."""
+    return column_split_bounds(hidden, ds_parts)

@@ -1,0 +1,207 @@
+"""Prepare-once / run-many SpMM on TPU.
+
+The reference's key invariant — sparse operand "prepared" once (partitioned,
+padded, copied to device) and multiplied many times (`to_device_group` vs
+`run_group`, SURVEY.md §1) — maps here to: :func:`prepare_spmm` plans,
+pads, and uploads static block tables to HBM, returning a
+:class:`PreparedSpmm` whose :meth:`~PreparedSpmm.mul` is a cached-jit
+function of the dense operand only.
+
+Backends
+--------
+``oracle``   one-shot gather+segment_sum (spmm_host_* analog; small graphs).
+``blocked``  nnz-balanced row blocks under ``lax.scan`` — bounded memory
+             (one block's (nnz_pad, H) gather live at a time), XLA fuses the
+             gather, multiply and sorted segment-sum per step. The analog of
+             the DPU hot loop (spmm_mul_csr_dpu.c:108-126) expressed as
+             compiler-friendly dataflow.
+``coo``      exact-nnz chunks with mid-row cuts; chunk partials are summed
+             into the full output (the segmented-reduction answer to the
+             reference's four tasklet lock schemes, SURVEY.md §5.2).
+``pallas``   hand-written TPU kernel (see pallas_spmm.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pygim_tpu.core.graph import CooGraph, CsrGraph
+from pygim_tpu.core.partition import (
+    build_coo_chunks,
+    build_ell_blocks,
+    make_row_block_plan,
+    round_up,
+)
+from pygim_tpu.ops.reference import accum_dtype, spmm_coo_oracle
+
+
+@dataclasses.dataclass(frozen=True)
+class SpmmConfig:
+    """Runtime configuration — the collapse of the reference's three config
+    tiers (compile-time -D flags, CLI, sweep DSL; SURVEY.md §5.6) into one.
+
+    ``block_nnz_budget`` bounds per-step gather memory: n_blocks is chosen
+    so each block holds at most ~budget nnz (pre-balance).
+    """
+
+    format: str = "csr"              # csr | coo
+    backend: str = "blocked"         # oracle | blocked | coo | pallas
+    balance: str = "nnz"             # nnz | row   (partition.c analogs)
+    n_blocks: Optional[int] = None   # explicit override
+    block_nnz_budget: int = 1 << 17  # ~128k nnz/block
+    interpret: bool = False          # pallas interpreter mode (tests)
+
+    def resolve_n_blocks(self, nnz: int) -> int:
+        if self.n_blocks is not None:
+            return self.n_blocks
+        return max(1, -(-nnz // self.block_nnz_budget))
+
+
+class PreparedSpmm:
+    """Device-resident prepared sparse operand with a cached-jit ``mul``.
+
+    Analog of the opaque group pointer returned by
+    ``spmm_csr_to_device_group`` (pytorch_api.cpp:204-243) plus the
+    ``spmm_csr_run_group`` run path — but the "device copy" is just arrays
+    living in HBM and the "run" is a jitted function.
+    """
+
+    def __init__(self, graph, config: SpmmConfig):
+        self.config = config
+        coo = graph if isinstance(graph, CooGraph) else None
+        csr = graph if isinstance(graph, CsrGraph) else None
+        if config.format == "csr":
+            csr = csr if csr is not None else coo.to_csr()
+            self.nrows, self.ncols = csr.nrows, csr.ncols
+            self.nnz = csr.nnz
+            self.val_dtype = jnp.dtype(csr.vals.dtype)
+        else:
+            coo = coo if coo is not None else csr.to_coo()
+            self.nrows, self.ncols = coo.nrows, coo.ncols
+            self.nnz = coo.nnz
+            self.val_dtype = jnp.dtype(coo.vals.dtype)
+
+        backend = config.backend
+        if backend == "oracle":
+            src = coo if coo is not None else csr.to_coo()
+            s = src.sort_by_row()
+            self._dev = {
+                "rows": jnp.asarray(s.rows),
+                "cols": jnp.asarray(s.cols),
+                "vals": jnp.asarray(s.vals),
+            }
+        elif backend in ("blocked", "pallas"):
+            csr = csr if csr is not None else coo.to_csr()
+            nb = config.resolve_n_blocks(csr.nnz)
+            row_align = 8
+            if backend == "pallas":
+                # pallas kernel wants lane-aligned row tiles
+                row_align = 128
+            plan = make_row_block_plan(
+                csr, nb, balance=config.balance,
+                row_align=row_align, nnz_align=128 if backend == "pallas" else 8,
+            )
+            ell = build_ell_blocks(csr, plan)
+            # map global row -> slot in flattened (nb, rows_pad) output
+            row_slot = np.empty(csr.nrows, dtype=np.int32)
+            for b in range(plan.n_blocks):
+                r0, r1 = int(plan.bounds[b]), int(plan.bounds[b + 1])
+                row_slot[r0:r1] = b * plan.rows_pad + np.arange(r1 - r0)
+            self.plan = plan
+            self._dev = {
+                "colind": jnp.asarray(ell.colind),
+                "vals": jnp.asarray(ell.vals),
+                "rowloc": jnp.asarray(ell.rowloc),
+                "row_slot": jnp.asarray(row_slot),
+            }
+            self.rows_pad = plan.rows_pad
+            self.nnz_pad = plan.nnz_pad
+        elif backend == "coo":
+            coo = coo if coo is not None else csr.to_coo()
+            nb = config.resolve_n_blocks(coo.nnz)
+            ch = build_coo_chunks(coo, nb)
+            self._dev = {
+                "rows": jnp.asarray(ch.rows),
+                "cols": jnp.asarray(ch.cols),
+                "vals": jnp.asarray(ch.vals),
+            }
+        else:
+            raise ValueError(f"unknown backend {backend!r}")
+        self._run = _make_run(backend, self)
+
+    def mul(self, x):
+        """out = A @ x. ``x``: (ncols, H) device array. Matches
+        ``SparseTensorCOO.mul`` (backend_pim/spmm.py:113-122) semantics."""
+        if x.shape[0] != self.ncols:
+            raise ValueError(f"x rows {x.shape[0]} != A cols {self.ncols}")
+        return self._run(x, **self._dev)
+
+
+def _make_run(backend: str, prep: PreparedSpmm):
+    nrows = prep.nrows
+
+    if backend == "oracle":
+        @jax.jit
+        def run(x, rows, cols, vals):
+            return spmm_coo_oracle(rows, cols, vals, x, nrows)
+        return run
+
+    if backend == "blocked":
+        rows_pad = prep.rows_pad
+
+        @jax.jit
+        def run(x, colind, vals, rowloc, row_slot):
+            acc = accum_dtype(jnp.result_type(vals.dtype, x.dtype))
+
+            def body(_, blk):
+                ci, v, rl = blk
+                g = jnp.take(x, ci, axis=0).astype(acc) * v.astype(acc)[:, None]
+                out_b = jax.ops.segment_sum(
+                    g, rl, num_segments=rows_pad, indices_are_sorted=True
+                )
+                return None, out_b
+
+            _, out_blocks = jax.lax.scan(
+                body, None, (colind, vals, rowloc)
+            )
+            flat = out_blocks.reshape(-1, x.shape[1])
+            return jnp.take(flat, row_slot, axis=0)
+        return run
+
+    if backend == "coo":
+        @jax.jit
+        def run(x, rows, cols, vals):
+            acc = accum_dtype(jnp.result_type(vals.dtype, x.dtype))
+
+            def body(out, chunk):
+                r, c, v = chunk
+                g = jnp.take(x, c, axis=0).astype(acc) * v.astype(acc)[:, None]
+                return out + jax.ops.segment_sum(
+                    g, r, num_segments=nrows, indices_are_sorted=True
+                ), None
+
+            out0 = jnp.zeros((nrows, x.shape[1]), dtype=acc)
+            out, _ = jax.lax.scan(body, out0, (rows, cols, vals))
+            return out
+        return run
+
+    if backend == "pallas":
+        from pygim_tpu.ops.pallas_spmm import make_pallas_spmm_run
+        return make_pallas_spmm_run(prep)
+
+    raise ValueError(backend)
+
+
+def prepare_spmm(graph, config: Optional[SpmmConfig] = None, **kw) -> PreparedSpmm:
+    """Entry point — analog of ``prepare_pim_spmm`` (backend_pim/spmm.py:143)."""
+    if config is None:
+        config = SpmmConfig(**kw)
+    elif kw:
+        config = dataclasses.replace(config, **kw)
+    return PreparedSpmm(graph, config)

@@ -1,0 +1,89 @@
+"""SpMM backends vs the float64 NumPy ground truth and vs each other."""
+
+import numpy as np
+import pytest
+
+from pygim_tpu.ops.spmm import SpmmConfig, prepare_spmm
+from tests.conftest import random_coo
+
+
+def _dense_ref(coo, x):
+    return coo.to_dense().astype(np.float64) @ x.astype(np.float64)
+
+
+@pytest.mark.parametrize("backend", ["oracle", "blocked", "coo"])
+@pytest.mark.parametrize("dtype", ["float32", "int32"])
+def test_backend_matches_dense(rng, backend, dtype):
+    coo = random_coo(rng, nrows=150, ncols=120, nnz=900, dtype=dtype)
+    x = (
+        rng.integers(-3, 4, size=(120, 48))
+        if dtype == "int32"
+        else rng.standard_normal((120, 48))
+    ).astype(np.dtype(dtype if dtype != "int32" else np.int32))
+    prep = prepare_spmm(coo, SpmmConfig(backend=backend, n_blocks=4))
+    out = np.asarray(prep.mul(x))
+    ref = _dense_ref(coo, x)
+    assert out.shape == (150, 48)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_blocked_many_blocks_edge_cases(rng):
+    # more blocks than needed; empty rows; single block
+    coo = random_coo(rng, nrows=37, ncols=29, nnz=60)
+    x = rng.standard_normal((29, 8)).astype(np.float32)
+    ref = _dense_ref(coo, x)
+    for nb in [1, 3, 16]:
+        prep = prepare_spmm(coo, SpmmConfig(backend="blocked", n_blocks=nb))
+        np.testing.assert_allclose(
+            np.asarray(prep.mul(x)), ref, rtol=1e-5, atol=1e-5
+        )
+
+
+def test_row_balance_matches(rng):
+    coo = random_coo(rng, nrows=90, ncols=90, nnz=500)
+    x = rng.standard_normal((90, 16)).astype(np.float32)
+    prep = prepare_spmm(
+        coo, SpmmConfig(backend="blocked", n_blocks=5, balance="row")
+    )
+    np.testing.assert_allclose(
+        np.asarray(prep.mul(x)), _dense_ref(coo, x), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_prepare_once_run_many(rng):
+    coo = random_coo(rng, nrows=64, ncols=64, nnz=300)
+    prep = prepare_spmm(coo, SpmmConfig(backend="blocked", n_blocks=2))
+    for _ in range(3):
+        x = rng.standard_normal((64, 12)).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(prep.mul(x)), _dense_ref(coo, x), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_int8_accumulates_in_int32(rng):
+    coo = random_coo(rng, nrows=40, ncols=40, nnz=400, dtype="int8")
+    x = rng.integers(-4, 5, size=(40, 8)).astype(np.int8)
+    prep = prepare_spmm(coo, SpmmConfig(backend="blocked", n_blocks=2))
+    out = np.asarray(prep.mul(x))
+    assert out.dtype == np.int32
+    np.testing.assert_array_equal(out, _dense_ref(coo, x).astype(np.int64))
+
+
+def test_shape_mismatch_raises(rng):
+    coo = random_coo(rng, nrows=10, ncols=12, nnz=20)
+    prep = prepare_spmm(coo, SpmmConfig(backend="oracle"))
+    with pytest.raises(ValueError):
+        prep.mul(np.zeros((11, 4), dtype=np.float32))
+
+
+def test_sddmm_oracle(rng):
+    from pygim_tpu.ops.reference import sddmm_coo_oracle
+
+    coo = random_coo(rng, nrows=30, ncols=25, nnz=100)
+    a = rng.standard_normal((30, 16)).astype(np.float32)
+    b = rng.standard_normal((25, 16)).astype(np.float32)
+    out = np.asarray(sddmm_coo_oracle(coo.rows, coo.cols, a, b))
+    ref = np.einsum(
+        "kd,kd->k", a[coo.rows].astype(np.float64), b[coo.cols].astype(np.float64)
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
