@@ -1,0 +1,96 @@
+"""Quantization + GNN layer/model tests vs plain-float references."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pygim_tpu.nn import layers as L
+from pygim_tpu.nn.models import make_gnn
+from pygim_tpu.ops.spmm import SpmmConfig, prepare_spmm
+from pygim_tpu.quant import symmetric_dequantize, symmetric_quantize
+from tests.conftest import random_coo
+
+
+def test_quantize_int8_roundtrip(rng):
+    v = jnp.asarray(rng.standard_normal((64, 16)), dtype=jnp.float32)
+    scale, vq = symmetric_quantize(v, "int8")
+    assert vq.dtype == jnp.int8
+    # payload bounded by 2^4 (scale exponent 5): quantize.py:22-23
+    assert int(jnp.max(jnp.abs(vq))) <= 16
+    back = symmetric_dequantize(vq.astype(jnp.float32), 1.0, scale)
+    # quantization step = scale -> error bounded by scale/2
+    assert float(jnp.max(jnp.abs(back - v))) <= float(scale) / 2 + 1e-7
+
+
+@pytest.mark.parametrize("dtype,exp", [("int8", 5), ("int16", 10), ("int32", 20)])
+def test_quantize_scale_exponents(rng, dtype, exp):
+    v = jnp.asarray(rng.standard_normal(100), dtype=jnp.float32)
+    scale, _ = symmetric_quantize(v, dtype)
+    expected = float(jnp.max(jnp.abs(v))) * 2 / 2**exp
+    np.testing.assert_allclose(float(scale), expected, rtol=1e-6)
+
+
+def test_quantize_float_passthrough(rng):
+    v = jnp.asarray(rng.standard_normal(50), dtype=jnp.float32)
+    scale, vq = symmetric_quantize(v, "float32")
+    assert vq.dtype == jnp.float32  # rounded but kept float (quantize.py:28-31)
+    np.testing.assert_allclose(np.asarray(vq), np.round(np.asarray(v) / scale))
+
+
+def test_quantize_zero_input_safe():
+    scale, vq = symmetric_quantize(jnp.zeros((4, 4)), "int8")
+    assert np.all(np.isfinite(np.asarray(vq)))
+    np.testing.assert_array_equal(np.asarray(vq), 0)
+
+
+def test_quantized_aggregate_close_to_exact(rng):
+    coo = random_coo(rng, nrows=80, ncols=80, nnz=800)
+    prep = prepare_spmm(coo, SpmmConfig(backend="blocked", n_blocks=3))
+    x = jnp.asarray(rng.standard_normal((80, 32)), dtype=jnp.float32)
+    exact = np.asarray(prep.mul(x))
+    # int32 quantization (k=20) should be near-exact
+    quant = np.asarray(L.quantized_aggregate(prep.mul, x, "int32"))
+    np.testing.assert_allclose(quant, exact, rtol=1e-3, atol=1e-3)
+    # int8 (k=5) is coarse but should correlate strongly
+    q8 = np.asarray(L.quantized_aggregate(prep.mul, x, "int8"))
+    corr = np.corrcoef(q8.ravel(), exact.ravel())[0, 1]
+    assert corr > 0.98
+
+
+@pytest.mark.parametrize("conv", ["gcn", "sage", "gin"])
+def test_models_run_and_match_oracle_aggregate(rng, conv):
+    n, f_in, h, f_out = 60, 12, 16, 5
+    coo = random_coo(rng, nrows=n, ncols=n, nnz=400)
+    prep_blocked = prepare_spmm(coo, SpmmConfig(backend="blocked", n_blocks=2))
+    prep_oracle = prepare_spmm(coo, SpmmConfig(backend="oracle"))
+    x = jnp.asarray(rng.standard_normal((n, f_in)), dtype=jnp.float32)
+    model = make_gnn(jax.random.key(0), conv, f_in, h, f_out)
+    out_b = np.asarray(model.apply(x, prep_blocked.mul))
+    out_o = np.asarray(model.apply(x, prep_oracle.mul))
+    assert out_b.shape == (n, f_out)
+    np.testing.assert_allclose(out_b, out_o, rtol=1e-4, atol=1e-4)
+
+
+def test_model_forward_jits(rng):
+    n, f_in, h, f_out = 40, 8, 16, 3
+    coo = random_coo(rng, nrows=n, ncols=n, nnz=200)
+    prep = prepare_spmm(coo, SpmmConfig(backend="blocked", n_blocks=2))
+    model = make_gnn(jax.random.key(1), "gcn", f_in, h, f_out, agg_dtype="int32")
+    fwd = jax.jit(lambda x: model.apply(x, prep.mul))
+    x = jnp.asarray(rng.standard_normal((n, f_in)), dtype=jnp.float32)
+    out = np.asarray(fwd(x))
+    ref = np.asarray(model.apply(x, prep.mul))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_dropout_training_mode(rng):
+    x = jnp.ones((100, 50))
+    y = L.dropout(jax.random.key(0), x, 0.5, True)
+    kept = float(jnp.mean(y != 0))
+    assert 0.35 < kept < 0.65
+    np.testing.assert_allclose(
+        np.asarray(y[y != 0]), 2.0, rtol=1e-6
+    )  # inverted scaling
+    # eval mode: identity
+    np.testing.assert_array_equal(np.asarray(L.dropout(None, x, 0.5, False)), 1.0)
