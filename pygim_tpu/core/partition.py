@@ -102,6 +102,25 @@ def make_row_block_plan(
     )
 
 
+def row_slot_table(plan: RowBlockPlan) -> np.ndarray:
+    """Map global row r → its slot in the flattened (n_blocks, rows_pad)
+    padded output; used to recover the (nrows, H) result with one gather."""
+    nrows = int(plan.bounds[-1])
+    slot = np.empty(nrows, dtype=INDEX_DTYPE)
+    for b in range(plan.n_blocks):
+        r0, r1 = int(plan.bounds[b]), int(plan.bounds[b + 1])
+        slot[r0:r1] = b * plan.rows_pad + np.arange(r1 - r0)
+    return slot
+
+
+def with_padding(plan: RowBlockPlan, rows_pad: int, nnz_pad: int) -> RowBlockPlan:
+    """Raise a plan's static capacities (for cross-part shape unification:
+    all sp parts of a 2D prepare must share one padded shape)."""
+    if rows_pad < plan.rows_pad or nnz_pad < plan.nnz_pad:
+        raise ValueError("padding can only grow")
+    return dataclasses.replace(plan, rows_pad=rows_pad, nnz_pad=nnz_pad)
+
+
 @dataclasses.dataclass(frozen=True)
 class EllBlocks:
     """Padded per-block ELL-style tables, all statically shaped.

@@ -37,6 +37,7 @@ from pygim_tpu.core.partition import (
     build_ell_blocks,
     make_row_block_plan,
     round_up,
+    row_slot_table,
 )
 from pygim_tpu.ops.reference import accum_dtype, spmm_coo_oracle
 
@@ -61,6 +62,29 @@ class SpmmConfig:
         if self.n_blocks is not None:
             return self.n_blocks
         return max(1, -(-nnz // self.block_nnz_budget))
+
+
+def blocked_spmm(colind, vals, rowloc, row_slot, x, rows_pad: int):
+    """The blocked gather+sorted-segment-sum product, reusable by the
+    single-chip backend and the per-shard body of the 2D mesh backend.
+
+    ``colind``/``vals``/``rowloc``: (n_blocks, nnz_pad) static ELL tables;
+    ``row_slot``: (nrows,) map from global row to flattened padded slot;
+    ``x``: (ncols, H). Returns (nrows, H) in the accumulation dtype.
+    """
+    acc = accum_dtype(jnp.result_type(vals.dtype, x.dtype))
+
+    def body(_, blk):
+        ci, v, rl = blk
+        g = jnp.take(x, ci, axis=0).astype(acc) * v.astype(acc)[:, None]
+        out_b = jax.ops.segment_sum(
+            g, rl, num_segments=rows_pad, indices_are_sorted=True
+        )
+        return None, out_b
+
+    _, out_blocks = jax.lax.scan(body, None, (colind, vals, rowloc))
+    flat = out_blocks.reshape(-1, x.shape[1])
+    return jnp.take(flat, row_slot, axis=0)
 
 
 class PreparedSpmm:
@@ -108,11 +132,7 @@ class PreparedSpmm:
                 row_align=row_align, nnz_align=128 if backend == "pallas" else 8,
             )
             ell = build_ell_blocks(csr, plan)
-            # map global row -> slot in flattened (nb, rows_pad) output
-            row_slot = np.empty(csr.nrows, dtype=np.int32)
-            for b in range(plan.n_blocks):
-                r0, r1 = int(plan.bounds[b]), int(plan.bounds[b + 1])
-                row_slot[r0:r1] = b * plan.rows_pad + np.arange(r1 - r0)
+            row_slot = row_slot_table(plan)
             self.plan = plan
             self._dev = {
                 "colind": jnp.asarray(ell.colind),
@@ -157,21 +177,7 @@ def _make_run(backend: str, prep: PreparedSpmm):
 
         @jax.jit
         def run(x, colind, vals, rowloc, row_slot):
-            acc = accum_dtype(jnp.result_type(vals.dtype, x.dtype))
-
-            def body(_, blk):
-                ci, v, rl = blk
-                g = jnp.take(x, ci, axis=0).astype(acc) * v.astype(acc)[:, None]
-                out_b = jax.ops.segment_sum(
-                    g, rl, num_segments=rows_pad, indices_are_sorted=True
-                )
-                return None, out_b
-
-            _, out_blocks = jax.lax.scan(
-                body, None, (colind, vals, rowloc)
-            )
-            flat = out_blocks.reshape(-1, x.shape[1])
-            return jnp.take(flat, row_slot, axis=0)
+            return blocked_spmm(colind, vals, rowloc, row_slot, x, rows_pad)
         return run
 
     if backend == "coo":

@@ -1,0 +1,75 @@
+"""2D mesh SpMM on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pygim_tpu.nn.models import make_gnn
+from pygim_tpu.ops.spmm import SpmmConfig, prepare_spmm
+from pygim_tpu.parallel import make_mesh, prepare_spmm_2d
+from tests.conftest import random_coo
+
+
+def _dense_ref(coo, x):
+    return coo.to_dense().astype(np.float64) @ x.astype(np.float64)
+
+
+@pytest.mark.parametrize("sp,ds", [(1, 1), (2, 4), (4, 2), (8, 1), (1, 8)])
+def test_2d_spmm_matches_dense(rng, sp, ds):
+    coo = random_coo(rng, nrows=130, ncols=117, nnz=1200)
+    x = rng.standard_normal((117, 40)).astype(np.float32)
+    mesh = make_mesh(sp, ds)
+    prep = prepare_spmm_2d(coo, mesh, SpmmConfig(n_blocks=3))
+    out = np.asarray(prep.mul(jnp.asarray(x)))
+    np.testing.assert_allclose(out, _dense_ref(coo, x), rtol=1e-4, atol=1e-4)
+
+
+def test_2d_matches_single_chip(rng):
+    coo = random_coo(rng, nrows=96, ncols=96, nnz=800)
+    x = rng.standard_normal((96, 32)).astype(np.float32)
+    single = prepare_spmm(coo, SpmmConfig(backend="blocked", n_blocks=4))
+    mesh = make_mesh(2, 2)
+    dist = prepare_spmm_2d(coo, mesh, SpmmConfig(n_blocks=4))
+    np.testing.assert_allclose(
+        np.asarray(dist.mul(jnp.asarray(x))),
+        np.asarray(single.mul(jnp.asarray(x))),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_2d_int32_quantized(rng):
+    coo = random_coo(rng, nrows=64, ncols=64, nnz=500, dtype="int32")
+    x = rng.integers(-5, 6, size=(64, 16)).astype(np.int32)
+    mesh = make_mesh(4, 2)
+    prep = prepare_spmm_2d(coo, mesh, SpmmConfig())
+    out = np.asarray(prep.mul(jnp.asarray(x)))
+    np.testing.assert_array_equal(out, _dense_ref(coo, x).astype(np.int64))
+
+
+def test_2d_output_sharding(rng):
+    coo = random_coo(rng, nrows=64, ncols=64, nnz=400)
+    mesh = make_mesh(2, 4)
+    prep = prepare_spmm_2d(coo, mesh)
+    x = jnp.asarray(rng.standard_normal((64, 24)).astype(np.float32))
+    out = prep.mul(x)
+    # output features sharded over ds, rows unsharded
+    assert out.shape == (64, 24)
+
+
+def test_model_over_2d_mesh(rng):
+    n, f_in, h, f_out = 80, 16, 32, 4
+    coo = random_coo(rng, nrows=n, ncols=n, nnz=600)
+    mesh = make_mesh(2, 2)
+    dist = prepare_spmm_2d(coo, mesh)
+    single = prepare_spmm(coo, SpmmConfig(backend="oracle"))
+    model = make_gnn(jax.random.key(0), "gcn", f_in, h, f_out, agg_dtype="int32")
+    x = jnp.asarray(rng.standard_normal((n, f_in)), dtype=jnp.float32)
+    out_d = np.asarray(model.apply(x, dist.mul))
+    out_s = np.asarray(model.apply(x, single.mul))
+    np.testing.assert_allclose(out_d, out_s, rtol=1e-4, atol=1e-4)
+
+
+def test_mesh_too_small_raises():
+    with pytest.raises(ValueError):
+        make_mesh(4, 4)  # 16 > 8 virtual devices
