@@ -1,0 +1,243 @@
+"""Datasets: PyG/OGB-compatible loading with synthetic fallbacks.
+
+The reference loads Planetoid/Reddit/AmazonProducts/ogbn-* through PyG/OGB
+(inference.py:44-91) and SuiteSparse .mtx matrices through its mtx reader
+(utils.hpp:16-71). Here:
+
+* If ``torch_geometric``/``ogb`` are importable and data is on disk, the
+  real datasets are used (gated import — never required).
+* Otherwise each known dataset name resolves to a **spec-matched synthetic
+  stand-in**: an R-MAT graph with the same node count, edge count, feature
+  width and class count, cached on disk as .npz so repeated benchmark runs
+  pay generation cost once.
+* ``load_mtx`` reads MatrixMarket via scipy.
+
+Graph sizes follow the published dataset statistics; features are random
+(the reference's spmm benchmark also uses random features,
+spmm_test.py:70, and its accuracy numbers are of untrained models,
+SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from pygim_tpu.core.graph import CooGraph
+
+# name -> (num_nodes, num_edges(directed), feat_dim, num_classes)
+DATASET_SPECS = {
+    "pubmed": (19_717, 88_651, 500, 3),
+    "cora": (2_708, 10_556, 1_433, 7),
+    "citeseer": (3_327, 9_104, 3_703, 6),
+    "reddit": (232_965, 114_615_892, 602, 41),
+    "ogbn-arxiv": (169_343, 1_166_243, 128, 40),
+    "ogbn-proteins": (132_534, 79_122_504, 8, 112),
+    "ogbn-products": (2_449_029, 123_718_280, 100, 47),
+    "amazonproducts": (1_569_960, 264_339_468, 200, 107),
+    # small synthetic configs for tests/CI
+    "tiny": (1_000, 10_000, 32, 4),
+    "small": (20_000, 400_000, 64, 8),
+}
+
+_DEFAULT_CACHE = os.environ.get(
+    "PYGIM_TPU_DATA", os.path.join(os.path.expanduser("~"), ".cache", "pygim_tpu")
+)
+
+
+@dataclasses.dataclass
+class GraphDataset:
+    name: str
+    graph: CooGraph          # adjacency (row = destination, col = source)
+    x: np.ndarray            # node features (N, F)
+    y: np.ndarray            # labels (N,)
+    train_mask: np.ndarray
+    test_mask: np.ndarray
+    num_classes: int
+    synthetic: bool
+
+    @property
+    def num_nodes(self) -> int:
+        return self.graph.nrows
+
+    @property
+    def num_edges(self) -> int:
+        return self.graph.nnz
+
+
+def rmat_edges(
+    n: int, e: int, *, a=0.57, b=0.19, c=0.19, seed=0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized R-MAT edge generation (power-law degree skew like real
+    web/social graphs). Returns (rows, cols), may contain duplicates —
+    duplicates model multi-edges and are kept, matching total edge count."""
+    rng = np.random.default_rng(seed)
+    scale = max(1, int(np.ceil(np.log2(max(n, 2)))))
+    rows = np.zeros(e, dtype=np.int64)
+    cols = np.zeros(e, dtype=np.int64)
+    for _ in range(scale):
+        r = rng.random(e)
+        rows = rows * 2 + (r >= a + b).astype(np.int64)
+        cols = cols * 2 + (
+            ((r >= a) & (r < a + b)) | (r >= a + b + c)
+        ).astype(np.int64)
+    return (rows % n).astype(np.int32), (cols % n).astype(np.int32)
+
+
+def _synthesize(name: str, spec, seed=0) -> GraphDataset:
+    n, e, f, ccount = spec
+    rows, cols = rmat_edges(n, e, seed=seed)
+    rng = np.random.default_rng(seed + 1)
+    x = rng.standard_normal((n, f)).astype(np.float32)
+    y = rng.integers(0, ccount, n).astype(np.int32)
+    train = np.zeros(n, dtype=bool)
+    train[rng.choice(n, max(1, n // 10), replace=False)] = True
+    test = ~train
+    graph = CooGraph.from_edges(rows, cols, nrows=n, ncols=n, dtype="float32")
+    return GraphDataset(
+        name=name, graph=graph, x=x, y=y, train_mask=train,
+        test_mask=test, num_classes=ccount, synthetic=True,
+    )
+
+
+def _cache_path(name: str, root: str) -> Path:
+    return Path(root) / f"{name}.npz"
+
+
+def _save_cache(ds: GraphDataset, path: Path) -> None:
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_suffix(".tmp.npz")
+    np.savez(
+        tmp, rows=ds.graph.rows, cols=ds.graph.cols, x=ds.x, y=ds.y,
+        train_mask=ds.train_mask, test_mask=ds.test_mask,
+        num_classes=ds.num_classes, synthetic=ds.synthetic,
+        nrows=ds.graph.nrows,
+    )
+    os.replace(tmp, path)
+
+
+def _load_cache(name: str, path: Path) -> GraphDataset:
+    z = np.load(path)
+    n = int(z["nrows"])
+    graph = CooGraph.from_edges(
+        z["rows"], z["cols"], nrows=n, ncols=n, dtype="float32"
+    )
+    return GraphDataset(
+        name=name, graph=graph, x=z["x"], y=z["y"],
+        train_mask=z["train_mask"], test_mask=z["test_mask"],
+        num_classes=int(z["num_classes"]), synthetic=bool(z["synthetic"]),
+    )
+
+
+def _try_real_dataset(name: str, root: str) -> Optional[GraphDataset]:
+    """Real PyG/OGB loading, mirroring inference.py:44-91 — gated import."""
+    try:
+        import torch  # noqa: F401
+        import torch_geometric  # noqa: F401
+    except ImportError:
+        return None
+    try:
+        from torch_geometric.datasets import Planetoid, Reddit
+
+        if name in ("cora", "citeseer", "pubmed"):
+            ds = Planetoid(root=root, name=name.capitalize())
+        elif name == "reddit":
+            ds = Reddit(root=os.path.join(root, "Reddit"))
+        elif name.startswith("ogbn-"):
+            from ogb.nodeproppred import PygNodePropPredDataset
+
+            ds = PygNodePropPredDataset(name=name, root=root)
+        else:
+            return None
+        data = ds[0]
+        ei = data.edge_index.numpy()
+        n = data.num_nodes
+        graph = CooGraph.from_edges(
+            ei[1], ei[0], nrows=n, ncols=n, dtype="float32"
+        )  # adj_t convention: row=dst
+        y = data.y.numpy().reshape(-1).astype(np.int32)
+        train = (
+            data.train_mask.numpy()
+            if hasattr(data, "train_mask")
+            else np.ones(n, dtype=bool)
+        )
+        test = (
+            data.test_mask.numpy()
+            if hasattr(data, "test_mask")
+            else np.ones(n, dtype=bool)
+        )
+        return GraphDataset(
+            name=name, graph=graph, x=data.x.numpy().astype(np.float32),
+            y=y, train_mask=train, test_mask=test,
+            num_classes=int(y.max()) + 1, synthetic=False,
+        )
+    except Exception:
+        return None
+
+
+def load_dataset(
+    name: str, root: str = _DEFAULT_CACHE, *, seed: int = 0,
+    use_cache: bool = True,
+) -> GraphDataset:
+    """Load ``name`` — real if possible, synthetic stand-in otherwise.
+
+    Also accepts parametric names ``rmat-<n>-<e>`` for ad-hoc scaling runs.
+    """
+    name = name.lower()
+    if name.startswith("rmat-"):
+        _, ns, es = name.split("-")
+        spec = (int(ns), int(es), 64, 16)
+        return _synthesize(name, spec, seed)
+    if name not in DATASET_SPECS:
+        raise KeyError(
+            f"unknown dataset {name!r}; known: {sorted(DATASET_SPECS)}"
+        )
+    real = _try_real_dataset(name, root)
+    if real is not None:
+        return real
+    path = _cache_path(name + "-sim", root)
+    if use_cache and path.exists():
+        return _load_cache(name, path)
+    ds = _synthesize(name, DATASET_SPECS[name], seed)
+    if use_cache:
+        _save_cache(ds, path)
+    return ds
+
+
+def load_mtx(path: str, dtype: str = "float32") -> CooGraph:
+    """MatrixMarket reader (SuiteSparse sets, configs.py:7-14) via scipy."""
+    import scipy.io
+
+    return CooGraph.from_scipy(scipy.io.mmread(path), dtype=dtype)
+
+
+def cluster_partition(
+    ds: GraphDataset, part_size: int, part_idx: int = 1
+) -> GraphDataset:
+    """Node-range cluster partitioning — the stand-in for the reference's
+    METIS-based ``ClusterData`` with ~500k-node parts where only partition
+    index 1 is used (inference.py:64-73). Induces the subgraph on one
+    contiguous node range (METIS-quality clustering is a planned upgrade;
+    contiguous ranges are exact for the synthetic R-MAT generators whose
+    locality is id-correlated)."""
+    n = ds.num_nodes
+    nparts = max(1, -(-n // part_size))
+    part_idx = min(part_idx, nparts - 1)
+    lo = part_idx * part_size
+    hi = min(n, lo + part_size)
+    g = ds.graph
+    mask = (g.rows >= lo) & (g.rows < hi) & (g.cols >= lo) & (g.cols < hi)
+    sub = CooGraph.from_edges(
+        g.rows[mask] - lo, g.cols[mask] - lo, g.vals[mask],
+        nrows=hi - lo, ncols=hi - lo,
+    )
+    sl = slice(lo, hi)
+    return GraphDataset(
+        name=f"{ds.name}-part{part_idx}", graph=sub, x=ds.x[sl], y=ds.y[sl],
+        train_mask=ds.train_mask[sl], test_mask=ds.test_mask[sl],
+        num_classes=ds.num_classes, synthetic=ds.synthetic,
+    )
