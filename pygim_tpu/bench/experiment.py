@@ -1,0 +1,167 @@
+"""Experiment config points, frozen-name ledger, and the sweep runner.
+
+The reference's ``Experiment`` dataclass (utils/experiment.py:146-171)
+carried both run-time and compile-time knobs and shelled out to the entry
+scripts after cmake'ing one ``.so`` per flag set (experiment.py:101-143,
+361-466). On TPU every knob is a runtime/jit parameter, so a sweep is a
+plain in-process loop; what we keep is the operational discipline:
+
+* frozen-parameter result names (experiment.py:214-309),
+* the done/failed/todo ledger with skip-or-retry semantics
+  (experiment.py:350-356, helpers.py:71-89),
+* failures preserved as ``.failed`` output files (experiment.py:450-457),
+* ``dry_run`` exercising config expansion without hardware
+  (experiment.py:50-77).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import json
+import logging
+import traceback
+from pathlib import Path
+from typing import Iterable, Optional
+
+from pygim_tpu.ops.spmm import SpmmConfig
+from pygim_tpu.utils.metrics import DataReporter
+
+
+@dataclasses.dataclass(frozen=True)
+class Experiment:
+    """One run point. Field names follow the reference where the concept
+    survives (dataset, sp/ds parts, sp_format, dtype, balance, repeat,
+    model, num_layers, tune — experiment.py:146-171); compile-time-only
+    knobs (tasklets, locks, cache size, sync) are replaced by the runtime
+    block/backend knobs."""
+
+    dataset: str = "pubmed"
+    kind: str = "spmm"            # spmm | inference
+    model: str = "gcn"
+    num_layers: int = 2
+    hidden: int = 256
+    sp_parts: int = 1
+    ds_parts: int = 1
+    sp_format: str = "csr"
+    dtype: str = "float32"        # spmm value / aggregation dtype
+    backend: str = "blocked"
+    balance: str = "nnz"
+    block_nnz_budget: int = 1 << 17
+    repeat: int = 3
+    tune: bool = False
+
+    def frozen_name(self) -> str:
+        """Deterministic result-file stem from all params
+        (experiment.py:214-234 analog)."""
+        d = dataclasses.asdict(self)
+        return "_".join(f"{k}-{d[k]}" for k in sorted(d))
+
+    def spmm_config(self) -> SpmmConfig:
+        return SpmmConfig(
+            format=self.sp_format, backend=self.backend,
+            balance=self.balance, block_nnz_budget=self.block_nnz_budget,
+        )
+
+    def status_at(self, results_dir) -> str:
+        """done | failed | todo (experiment.py:350-356)."""
+        stem = Path(results_dir) / self.frozen_name()
+        if stem.with_suffix(".out").exists():
+            return "done"
+        if stem.with_suffix(".failed").exists():
+            return "failed"
+        return "todo"
+
+    def run(self, results_dir, data_root: Optional[str] = None) -> dict:
+        """Execute in-process; write the ``[DATA]`` record + JSON means to
+        the ledger. Raises on failure after writing the ``.failed`` file."""
+        from pygim_tpu.bench.runners import (
+            run_inference_benchmark,
+            run_spmm_benchmark,
+        )
+        from pygim_tpu.data import load_dataset
+
+        results_dir = Path(results_dir)
+        results_dir.mkdir(parents=True, exist_ok=True)
+        stem = results_dir / self.frozen_name()
+        rep = DataReporter(echo=False)
+        try:
+            kw = {} if data_root is None else {"root": data_root}
+            ds = load_dataset(self.dataset, **kw)
+            cfg = self.spmm_config()
+            if self.tune:
+                from pygim_tpu.tune import autotune
+
+                cfg = autotune(ds.graph, self.hidden).config
+            mesh = None
+            if self.sp_parts * self.ds_parts > 1:
+                from pygim_tpu.parallel import make_mesh
+
+                mesh = make_mesh(self.sp_parts, self.ds_parts)
+            if self.kind == "spmm":
+                run_spmm_benchmark(
+                    ds, hidden=self.hidden, dtype=self.dtype, config=cfg,
+                    repeat=self.repeat, reporter=rep, mesh=mesh,
+                )
+            elif self.kind == "inference":
+                run_inference_benchmark(
+                    ds, model=self.model, num_layers=self.num_layers,
+                    hidden=self.hidden,
+                    agg_dtype=None if self.dtype == "float32" else self.dtype,
+                    config=cfg, repeat=self.repeat, reporter=rep, mesh=mesh,
+                )
+            else:
+                raise ValueError(f"unknown kind {self.kind!r}")
+        except Exception:
+            stem.with_suffix(".failed").write_text(
+                _render_record(self, rep) + "\n" + traceback.format_exc()
+            )
+            raise
+        means = rep.means()
+        stem.with_suffix(".out").write_text(_render_record(self, rep))
+        stem.with_suffix(".json").write_text(json.dumps(means, indent=1))
+        return means
+
+
+def _render_record(exp: Experiment, rep: DataReporter) -> str:
+    buf = io.StringIO()
+    print(f"# {exp.frozen_name()}", file=buf)
+    for k, vs in rep.records.items():
+        for v in vs:
+            print(f"[DATA]{k}: {v}", file=buf)
+    return buf.getvalue()
+
+
+def run_experiments(
+    experiments: Iterable[Experiment],
+    results_dir,
+    *,
+    retry_failed: bool = False,
+    dry_run: bool = False,
+    logger: Optional[logging.Logger] = None,
+    data_root: Optional[str] = None,
+) -> dict[str, dict]:
+    """Sweep driver (helpers.py:44-103 analog): skip done, optionally retry
+    failed, collect means per frozen name. Failures don't abort the
+    sweep."""
+    log = logger or logging.getLogger("pygim_tpu.bench")
+    results = {}
+    for exp in experiments:
+        name = exp.frozen_name()
+        status = exp.status_at(results_dir)
+        if status == "done" or (status == "failed" and not retry_failed):
+            log.info("skip [%s] %s", status, name)
+            if status == "done":
+                p = Path(results_dir) / (name + ".json")
+                if p.exists():
+                    results[name] = json.loads(p.read_text())
+            continue
+        if dry_run:
+            log.info("dry-run %s", name)
+            continue
+        log.info("run %s", name)
+        try:
+            results[name] = exp.run(results_dir, data_root=data_root)
+        except Exception as e:  # ledger already has the .failed record
+            log.error("FAILED %s: %s", name, e)
+    return results

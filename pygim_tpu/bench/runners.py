@@ -1,0 +1,160 @@
+"""Benchmark bodies — the in-process equivalents of the reference entry
+scripts ``spmm_test.py`` and ``inference.py``.
+
+Both report through the ``[DATA]`` protocol with the reference's key names
+(``torch_time(ms)`` becomes ``ref_time(ms)``; ``pim_time_spmm(ms)``,
+``prepare_pim_time(ms)``, ``infer_time(ms)``, ``test_acc`` keep their
+roles — spmm_test.py:19-37, inference.py:20-41).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pygim_tpu.data import GraphDataset
+from pygim_tpu.nn.models import make_gnn
+from pygim_tpu.ops.spmm import SpmmConfig, prepare_spmm
+from pygim_tpu.utils.metrics import DataReporter
+from pygim_tpu.utils.timers import device_time
+
+
+def spmm_model_bytes(nnz: int, nrows: int, hidden: int, dtype_bytes: int = 4):
+    """Standard SpMM traffic model: per-edge index+value stream, one dense
+    row read per edge (no reuse credit), one output write per row."""
+    return nnz * (4 + dtype_bytes) + nnz * hidden * dtype_bytes \
+        + nrows * hidden * dtype_bytes
+
+
+def run_spmm_benchmark(
+    ds: GraphDataset,
+    *,
+    hidden: int = 256,
+    dtype: str = "float32",
+    config: Optional[SpmmConfig] = None,
+    repeat: int = 3,
+    verify: bool = True,
+    reporter: Optional[DataReporter] = None,
+    mesh=None,
+) -> dict:
+    """SpMM micro-benchmark (spmm_test.py analog): times the prepared
+    backend against the jnp oracle and cross-checks numerics."""
+    rep = reporter or DataReporter()
+    rng = np.random.default_rng(0)
+    graph = ds.graph
+    if dtype.startswith("int"):
+        # random integer features, as spmm_test.py:70
+        x_np = rng.integers(-10, 11, (graph.ncols, hidden))
+    else:
+        x_np = rng.standard_normal((graph.ncols, hidden))
+    x = jnp.asarray(x_np, dtype=dtype)
+    graph = _cast_graph(graph, dtype)
+
+    t0 = time.perf_counter()
+    if mesh is not None:
+        from pygim_tpu.parallel import prepare_spmm_2d
+
+        prep = prepare_spmm_2d(graph, mesh, config)
+    else:
+        prep = prepare_spmm(graph, config or SpmmConfig())
+    rep.report("prepare_pim_time(ms)", (time.perf_counter() - t0) * 1e3)
+
+    dt = device_time(prep.mul, x, iters=repeat)
+    rep.report("pim_time_spmm(ms)", dt * 1e3)
+    model_bytes = spmm_model_bytes(
+        graph.nnz, graph.nrows, hidden, jnp.dtype(dtype).itemsize
+    )
+    rep.report("spmm_effective_GBps", model_bytes / dt / 1e9)
+    rep.report("edges_per_s", graph.nnz / dt)
+
+    if verify:
+        ok = _verify_against_oracle(graph, prep, x, rng)
+        rep.report("verify", "OK" if ok else "ERROR")
+        if not ok:
+            raise AssertionError("SpMM backend mismatch vs oracle")
+
+    # oracle timing only when affordable (one-shot gather materializes nnz×H)
+    if graph.nnz * hidden <= 2 ** 27:
+        oracle = prepare_spmm(graph, SpmmConfig(backend="oracle"))
+        rep.report("ref_time(ms)", device_time(oracle.mul, x, iters=repeat) * 1e3)
+    return rep.means()
+
+
+def _cast_graph(graph, dtype: str):
+    import dataclasses as _dc
+
+    want = np.dtype(dtype if dtype != "bfloat16" else "float32")
+    if graph.vals.dtype == want:
+        return graph
+    return _dc.replace(graph, vals=graph.vals.astype(want))
+
+
+def _verify_against_oracle(graph, prep, x, rng, rows_to_check: int = 256):
+    """Spot-check against a NumPy CSR reference on sampled rows (cheap even
+    for 100M-edge graphs) — the spmm_host_csr comparison of
+    spmm_mul_csr.c:414-477, minus the comment markers."""
+    csr = graph.to_csr() if not hasattr(graph, "rowptr") else graph
+    out = np.asarray(prep.mul(x))
+    xs = np.asarray(x)
+    rows = rng.choice(csr.nrows, min(rows_to_check, csr.nrows), replace=False)
+    for r in rows:
+        e0, e1 = int(csr.rowptr[r]), int(csr.rowptr[r + 1])
+        ref = (
+            xs[csr.colind[e0:e1]].astype(np.float64)
+            * csr.vals[e0:e1, None].astype(np.float64)
+        ).sum(axis=0)
+        got = out[r].astype(np.float64)
+        tol = 1e-3 * max(1.0, np.abs(ref).max())
+        if not np.allclose(got, ref, atol=tol, rtol=1e-4):
+            return False
+    return True
+
+
+def run_inference_benchmark(
+    ds: GraphDataset,
+    *,
+    model: str = "gcn",
+    num_layers: int = 2,
+    hidden: int = 256,
+    agg_dtype: Optional[str] = "int32",
+    config: Optional[SpmmConfig] = None,
+    repeat: int = 1,
+    reporter: Optional[DataReporter] = None,
+    mesh=None,
+    seed: int = 0,
+) -> dict:
+    """End-to-end GNN inference (inference.py analog): model forward under
+    jit, ``infer_time(ms)`` + test accuracy of the (untrained, like the
+    reference — SURVEY.md §5.4) model."""
+    rep = reporter or DataReporter()
+    graph = ds.graph
+    x = jnp.asarray(ds.x, dtype=jnp.float32)
+
+    t0 = time.perf_counter()
+    if mesh is not None:
+        from pygim_tpu.parallel import prepare_spmm_2d
+
+        prep = prepare_spmm_2d(graph, mesh, config)
+    else:
+        prep = prepare_spmm(graph, config or SpmmConfig())
+    rep.report("prepare_pim_time(ms)", (time.perf_counter() - t0) * 1e3)
+
+    gnn = make_gnn(
+        jax.random.key(seed), model, ds.x.shape[1], hidden,
+        ds.num_classes, num_layers=num_layers, agg_dtype=agg_dtype,
+    )
+    fwd = jax.jit(lambda x: gnn.apply(x, prep.mul))
+    dt = device_time(fwd, x, iters=repeat)
+    rep.report("infer_time(ms)", dt * 1e3)
+    rep.report("edges_per_s", graph.nnz * num_layers / dt)
+
+    logits = np.asarray(fwd(x))
+    pred = logits.argmax(axis=-1)
+    mask = ds.test_mask
+    acc = float((pred[mask] == ds.y[mask]).mean()) if mask.any() else 0.0
+    rep.report("test_acc", acc)
+    return rep.means()

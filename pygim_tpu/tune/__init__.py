@@ -1,0 +1,6 @@
+"""Autotuning: config search space DSL, TPU roofline cost model, and the
+per-graph autotuner (analog of utils/autotuner.py + utils/space.py)."""
+
+from pygim_tpu.tune.space import Concat, For, Product, Space, Table, Unit  # noqa: F401
+from pygim_tpu.tune.autotuner import autotune, plan_statistics  # noqa: F401
+from pygim_tpu.tune.cost_model import TpuCostModel, predict_spmm_time  # noqa: F401

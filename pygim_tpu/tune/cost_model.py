@@ -1,0 +1,118 @@
+"""TPU roofline cost model for SpMM configuration search.
+
+The reference's cost model (utils/autotuner.py:309-343) mirrors its five
+run phases with measured UPMEM constants (autotuner.py:23-89). The TPU
+analog has fewer phases — there is no host staging — so the model is:
+
+    t = gather_bytes / (hbm_bw · gather_eff)      # per-edge dense reads
+      + stream_bytes / hbm_bw                     # colind/vals/out streams
+      + psum_bytes   / ici_bw                     # sp-axis reduction
+      + pad_overhead                              # wasted padded work
+
+Constants default to v5e datasheet numbers scaled by measured efficiency
+factors; :func:`measure_constants` runs an on-device microbenchmark and
+caches the honest values (the reference lost its measurement op
+``prepare_tune_csr`` — SURVEY.md §2.1 gap — ours is implemented for real:
+:func:`pygim_tpu.tune.autotuner.plan_statistics` needs no hardware at all,
+and this module's measurement path needs only a few seconds of device
+time).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from pathlib import Path
+from typing import Optional
+
+# v5e datasheet-ish defaults; overridden by measurement when available.
+_DEFAULTS = {
+    "hbm_bw": 819e9,        # bytes/s
+    "ici_bw": 180e9,        # bytes/s per link direction
+    "gather_eff": 0.30,     # random-row gather efficiency vs streaming
+    "stream_eff": 0.80,     # sequential stream efficiency
+    "fixed_us": 5.0,        # per-dispatch overhead
+}
+
+_CACHE = Path(
+    os.environ.get(
+        "PYGIM_TPU_TUNE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "pygim_tpu"),
+    )
+) / "tpu_constants.json"
+
+
+@dataclasses.dataclass(frozen=True)
+class TpuCostModel:
+    hbm_bw: float
+    ici_bw: float
+    gather_eff: float
+    stream_eff: float
+    fixed_us: float
+
+    @classmethod
+    def default(cls) -> "TpuCostModel":
+        if _CACHE.exists():
+            try:
+                return cls(**json.loads(_CACHE.read_text()))
+            except Exception:
+                pass
+        return cls(**_DEFAULTS)
+
+
+def predict_spmm_time(stats: dict, model: Optional[TpuCostModel] = None) -> float:
+    """Predicted seconds for one SpMM under a partition plan's statistics
+    (from :func:`pygim_tpu.tune.autotuner.plan_statistics`). The phase
+    structure deliberately parallels the reference's
+    load+merge+compute+retrieve decomposition (autotuner.py:309-343)."""
+    m = model or TpuCostModel.default()
+    t = stats["gather_bytes"] / (m.hbm_bw * m.gather_eff)
+    t += stats["stream_bytes"] / (m.hbm_bw * m.stream_eff)
+    t += stats["psum_bytes"] / m.ici_bw
+    t += stats["n_dispatch"] * m.fixed_us * 1e-6
+    return t
+
+
+def measure_constants(save: bool = True) -> TpuCostModel:
+    """On-device microbenchmark of streaming/gather bandwidth — the honest
+    version of the reference's hard-coded bandwidth tables
+    (autotuner.py:23-89). Requires a few seconds of device time."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    n, h = 1 << 20, 256
+    x = jnp.ones((n, h), dtype=jnp.float32)
+    idx = jnp.asarray(
+        np.random.default_rng(0).integers(0, n, 4_000_000), dtype=jnp.int32
+    )
+    copy = jax.jit(lambda a: a * 1.0000001)
+    gather = jax.jit(lambda a, i: jnp.take(a, i, axis=0))
+    red = jax.jit(lambda a: jnp.sum(a))
+
+    def bench(fn, *args, nbytes):
+        float(red(fn(*args)))  # warm + compile
+        t0 = time.time()
+        iters = 5
+        for _ in range(iters):
+            out = fn(*args)
+        float(red(out))
+        return nbytes / ((time.time() - t0) / iters)
+
+    stream_bw = bench(copy, x, nbytes=2 * n * h * 4)
+    gather_bw = bench(gather, x, idx, nbytes=2 * 4_000_000 * h * 4)
+    hbm = _DEFAULTS["hbm_bw"]
+    model = TpuCostModel(
+        hbm_bw=hbm,
+        ici_bw=_DEFAULTS["ici_bw"],
+        gather_eff=min(1.0, gather_bw / hbm),
+        stream_eff=min(1.0, stream_bw / hbm),
+        fixed_us=_DEFAULTS["fixed_us"],
+    )
+    if save:
+        _CACHE.parent.mkdir(parents=True, exist_ok=True)
+        _CACHE.write_text(json.dumps(dataclasses.asdict(model)))
+    return model

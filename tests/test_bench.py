@@ -1,0 +1,82 @@
+"""Harness: [DATA] protocol, ledger semantics, sweep runner, CSV export."""
+
+import numpy as np
+import pytest
+
+from pygim_tpu.bench import Experiment, results_to_csv, run_experiments
+from pygim_tpu.bench.runners import run_inference_benchmark, run_spmm_benchmark
+from pygim_tpu.data import load_dataset
+from pygim_tpu.utils.metrics import DataReporter, mean_data, parse_data_lines
+
+
+def test_data_protocol_roundtrip(capsys):
+    rep = DataReporter()
+    rep.report("pim_time_spmm(ms)", 12.5)
+    rep.report("pim_time_spmm(ms)", 13.5)
+    rep.report("verify", "OK")
+    out = capsys.readouterr().out
+    parsed = parse_data_lines(out.splitlines())
+    assert parsed["pim_time_spmm(ms)"] == [12.5, 13.5]
+    assert mean_data(parsed)["pim_time_spmm(ms)"] == 13.0
+
+
+def test_spmm_benchmark_tiny(tmp_path):
+    ds = load_dataset("tiny", root=str(tmp_path))
+    rep = DataReporter(echo=False)
+    means = run_spmm_benchmark(ds, hidden=32, repeat=2, reporter=rep)
+    assert means["pim_time_spmm(ms)"] > 0
+    assert rep.records["verify"] == ["OK"]
+    assert "ref_time(ms)" in means
+
+
+def test_inference_benchmark_tiny(tmp_path):
+    ds = load_dataset("tiny", root=str(tmp_path))
+    means = run_inference_benchmark(
+        ds, hidden=32, repeat=1, reporter=DataReporter(echo=False)
+    )
+    assert means["infer_time(ms)"] > 0
+    assert 0.0 <= means["test_acc"] <= 1.0
+
+
+def test_experiment_ledger_and_sweep(tmp_path):
+    results = tmp_path / "results"
+    exps = [
+        Experiment(dataset="tiny", hidden=16, repeat=1),
+        Experiment(dataset="tiny", kind="inference", hidden=16, repeat=1,
+                   dtype="int32"),
+    ]
+    out = run_experiments(exps, results, data_root=str(tmp_path / "data"))
+    assert len(out) == 2
+    for e in exps:
+        assert e.status_at(results) == "done"
+    # rerun skips but still returns recorded means
+    out2 = run_experiments(exps, results, data_root=str(tmp_path / "data"))
+    assert set(out2) == set(out)
+    csv_path = results_to_csv(results)
+    text = csv_path.read_text()
+    assert "pim_time_spmm(ms)" in text or "infer_time(ms)" in text
+    assert "dataset" in text
+
+
+def test_experiment_failure_ledger(tmp_path):
+    results = tmp_path / "results"
+    bad = Experiment(dataset="definitely-not-a-dataset", repeat=1)
+    out = run_experiments([bad], results)
+    assert out == {}
+    assert bad.status_at(results) == "failed"
+    # failed is skipped unless retry requested
+    out = run_experiments([bad], results)
+    assert out == {}
+
+
+def test_dry_run(tmp_path):
+    exps = [Experiment(dataset="tiny", repeat=1)]
+    out = run_experiments(exps, tmp_path / "r", dry_run=True)
+    assert out == {}
+    assert exps[0].status_at(tmp_path / "r") == "todo"
+
+
+def test_frozen_name_stable():
+    e = Experiment(dataset="tiny")
+    assert e.frozen_name() == Experiment(dataset="tiny").frozen_name()
+    assert e.frozen_name() != Experiment(dataset="small").frozen_name()
