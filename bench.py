@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Headline benchmark — driver contract: prints ONE JSON line
+``{"metric", "value", "unit", "vs_baseline"}`` to stdout.
+
+Metric: single-chip SpMM effective bandwidth on the Reddit-shaped graph
+(CSR, float32, hidden 256 — BASELINE.md §3 config 1). Effective bytes use
+the standard SpMM traffic model (edge streams + one dense-row read per
+edge + output write; no reuse credit). ``vs_baseline`` is achieved GB/s
+over the target 70% of v5e HBM speed-of-light (0.70 × 819 GB/s), so
+vs_baseline ≥ 1.0 means the BASELINE.json target is met.
+
+Progress goes to stderr; only the JSON line goes to stdout.
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+HBM_PEAK_GBPS = float(os.environ.get("PYGIM_BENCH_HBM_GBPS", 819.0))
+TARGET_FRACTION = 0.70
+
+
+def main():
+    dataset = os.environ.get("PYGIM_BENCH_DATASET", "reddit")
+    hidden = int(os.environ.get("PYGIM_BENCH_HIDDEN", 256))
+    t_start = time.time()
+
+    import jax
+
+    log(f"devices: {jax.devices()}")
+
+    from pygim_tpu.data import load_dataset
+    from pygim_tpu.ops.spmm import SpmmConfig, prepare_spmm
+    from pygim_tpu.bench.runners import spmm_model_bytes
+    from pygim_tpu.utils.timers import device_time
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    log(f"loading {dataset} ...")
+    ds = load_dataset(dataset)
+    graph = ds.graph
+    log(
+        f"graph: N={graph.nrows} E={graph.nnz} "
+        f"({'synthetic' if ds.synthetic else 'real'})  [{time.time()-t_start:.0f}s]"
+    )
+
+    cfg = SpmmConfig(backend=os.environ.get("PYGIM_BENCH_BACKEND", "blocked"),
+                     format="csr")
+    t0 = time.time()
+    prep = prepare_spmm(graph, cfg)
+    log(f"prepare: {time.time()-t0:.1f}s")
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        rng.standard_normal((graph.ncols, hidden)), dtype=jnp.float32
+    )
+
+    t0 = time.time()
+    dt = device_time(prep.mul, x, iters=int(os.environ.get("PYGIM_BENCH_ITERS", 5)))
+    log(f"timed (incl. compile {time.time()-t0:.0f}s): {dt*1e3:.1f} ms/iter")
+
+    model_bytes = spmm_model_bytes(graph.nnz, graph.nrows, hidden, 4)
+    gbps = model_bytes / dt / 1e9
+    target = TARGET_FRACTION * HBM_PEAK_GBPS
+    log(
+        f"effective {gbps:.1f} GB/s; target {target:.0f} GB/s "
+        f"({TARGET_FRACTION*100:.0f}% of {HBM_PEAK_GBPS:.0f})"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": f"spmm_effective_bandwidth_{dataset}_csr_f32_h{hidden}",
+                "value": round(gbps, 2),
+                "unit": "GB/s",
+                "vs_baseline": round(gbps / target, 4),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

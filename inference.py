@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""End-to-end GNN inference entry — CLI-compatible analog of the
+reference's ``inference.py`` (flags per inference.py:96-124). AmazonProducts
+is cluster-partitioned with ~500k-node parts and partition index 1, like
+inference.py:64-73.
+"""
+
+import argparse
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", type=str, default="pubmed")
+    p.add_argument("--model", type=str, default="gcn",
+                   choices=["gcn", "sage", "gin"])
+    p.add_argument("--num_layers", type=int, default=2)
+    p.add_argument(
+        "--version", type=str, default="grande",
+        choices=["spmm", "grande", "spmv", "cpu"],
+    )
+    p.add_argument("--sp_format", type=str, default="csr", choices=["csr", "coo"])
+    p.add_argument("--data_type", type=str, default="int32",
+                   choices=["int8", "int16", "int32", "int64", "float32",
+                            "float64", "bfloat16"])
+    p.add_argument("--sp_parts", type=int, default=2)
+    p.add_argument("--ds_parts", type=int, default=16)
+    p.add_argument("--hidden_size", type=int, default=256)
+    p.add_argument("--repeat", type=int, default=1)
+    p.add_argument("--tune", action="store_true")
+    p.add_argument("--data_root", type=str, default=None)
+    # compatibility no-ops
+    p.add_argument("--lib_path", type=str, default=None)
+    p.add_argument("--nr_dpus", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = get_args(argv)
+    print(args)
+
+    import jax
+
+    from pygim_tpu.bench.runners import run_inference_benchmark
+    from pygim_tpu.data import cluster_partition, load_dataset
+    from pygim_tpu.ops.spmm import SpmmConfig
+
+    kw = {} if args.data_root is None else {"root": args.data_root}
+    ds = load_dataset(args.dataset, **kw)
+    if args.dataset == "amazonproducts":
+        ds = cluster_partition(ds, part_size=500_000, part_idx=1)
+
+    cfg = SpmmConfig(backend="blocked", format=args.sp_format)
+    if args.tune:
+        from pygim_tpu.tune import autotune
+
+        cfg = autotune(ds.graph, args.hidden_size).config
+
+    mesh = None
+    n_mesh = args.sp_parts * args.ds_parts
+    if args.version != "cpu" and 1 < n_mesh <= len(jax.devices()):
+        from pygim_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.sp_parts, args.ds_parts)
+
+    agg_dtype = None if args.data_type in ("float32", "float64") \
+        else args.data_type
+    if args.version == "cpu":
+        agg_dtype = None
+        cfg = SpmmConfig(backend="oracle")
+
+    run_inference_benchmark(
+        ds, model=args.model, num_layers=args.num_layers,
+        hidden=args.hidden_size, agg_dtype=agg_dtype, config=cfg,
+        repeat=args.repeat, mesh=mesh,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""SpMM micro-benchmark entry — CLI-compatible analog of the reference's
+``spmm_test.py`` (flags per spmm_test.py:76-101). ``--lib_path`` and
+``--nr_dpus`` are accepted for compatibility and ignored: there is no
+per-config native library and the "device pool" is the TPU runtime.
+"""
+
+import argparse
+import sys
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", type=str, default="pubmed")
+    p.add_argument(
+        "--version", type=str, default="spmm",
+        choices=["spmm", "grande", "spmv", "cpu"],
+        help="backend family; grande/spmv map to their mesh-config analogs "
+             "(SURVEY.md §2.3), cpu runs the jnp oracle",
+    )
+    p.add_argument("--sp_format", type=str, default="coo", choices=["csr", "coo"])
+    p.add_argument("--data_type", type=str, default="int32",
+                   choices=["int8", "int16", "int32", "int64", "float32",
+                            "float64", "bfloat16"])
+    p.add_argument("--sp_parts", type=int, default=1)
+    p.add_argument("--ds_parts", type=int, default=1)
+    p.add_argument("--hidden_size", type=int, default=256)
+    p.add_argument("--repeat", type=int, default=3)
+    p.add_argument("--tune", action="store_true")
+    p.add_argument("--balance", type=str, default="nnz", choices=["nnz", "row"])
+    p.add_argument("--data_root", type=str, default=None)
+    # compatibility no-ops
+    p.add_argument("--lib_path", type=str, default=None)
+    p.add_argument("--nr_dpus", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = get_args(argv)
+    print(args)
+
+    import jax
+
+    from pygim_tpu.bench.runners import run_spmm_benchmark
+    from pygim_tpu.data import load_dataset
+    from pygim_tpu.ops.spmm import SpmmConfig
+
+    kw = {} if args.data_root is None else {"root": args.data_root}
+    ds = load_dataset(args.dataset, **kw)
+
+    if args.version == "cpu":
+        cfg = SpmmConfig(backend="oracle", format=args.sp_format)
+    else:
+        cfg = SpmmConfig(
+            backend="blocked", format=args.sp_format, balance=args.balance
+        )
+        if args.tune:
+            from pygim_tpu.tune import autotune
+
+            cfg = autotune(ds.graph, args.hidden_size).config
+
+    mesh = None
+    n_mesh = args.sp_parts * args.ds_parts
+    if n_mesh > 1:
+        from pygim_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.sp_parts, args.ds_parts)
+
+    dtype = args.data_type if args.data_type != "float64" else "float32"
+    run_spmm_benchmark(
+        ds, hidden=args.hidden_size, dtype=dtype, config=cfg,
+        repeat=args.repeat, mesh=mesh,
+    )
+
+
+if __name__ == "__main__":
+    main()
