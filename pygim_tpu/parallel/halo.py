@@ -1,0 +1,273 @@
+"""Edge-partitioned distributed SpMM with halo feature exchange.
+
+The multi-host scaling capability (BASELINE.md §3 config 5; SURVEY.md §5.7):
+the global graph is 1-D row-partitioned over a ``nodes`` mesh axis — each
+device owns a contiguous node range, its rows of A, its slice of x, and
+produces its slice of the output (fully sharded, unlike the 2D sp×ds path
+whose output is replicated across ``sp``).
+
+The aggregation needs neighbor features owned by other devices — the halo.
+Two exchange strategies, selectable per graph (an autotuner axis):
+
+* ``all_gather`` — replicate x over the axis each step. Simple, bandwidth
+  O(N·H); wins when most nodes are halo anyway (dense cuts, small N).
+* ``all_to_all``  — each device sends only the rows its peers actually
+  reference (precomputed per-pair request lists, padded to the max count).
+  Bandwidth O(halo·H); wins on well-partitioned graphs where cuts are
+  small. This is the TPU analog of the reference's per-rank scatter of
+  exactly the needed dense slice (dpu_prepare_xfer, spmm_mul_csr.c:277-329)
+  — and the generalization of its host-side merge to ICI collectives.
+
+All index plumbing is precomputed on host at prepare time (prepare-once /
+run-many, SURVEY.md §1 invariant).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from pygim_tpu.core.graph import CooGraph, CsrGraph
+from pygim_tpu.core.partition import (
+    build_ell_blocks,
+    make_row_block_plan,
+    round_up,
+    row_slot_table,
+    with_padding,
+)
+from pygim_tpu.ops.spmm import SpmmConfig, blocked_spmm
+
+
+def make_node_mesh(n_devices: int, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices[:n_devices]), axis_names=("nodes",))
+
+
+class PreparedSpmmHalo:
+    """Row-partitioned prepare-once/run-many SpMM over a 1-D ``nodes`` mesh.
+
+    ``mul(x)`` takes the global (nrows, H) dense operand (sharded or not)
+    and returns the global product, row-sharded over ``nodes``.
+    """
+
+    def __init__(
+        self, graph, mesh: Mesh, config: Optional[SpmmConfig] = None,
+        exchange: str = "all_to_all",
+    ):
+        config = config or SpmmConfig()
+        if exchange not in ("all_gather", "all_to_all"):
+            raise ValueError(f"unknown exchange {exchange!r}")
+        self.mesh, self.config, self.exchange = mesh, config, exchange
+        nd = mesh.shape["nodes"]
+        self.nd = nd
+
+        csr = graph if isinstance(graph, CsrGraph) else graph.to_csr()
+        if csr.nrows != csr.ncols:
+            raise ValueError("halo mode requires a square adjacency")
+        self.nrows = csr.nrows
+        self.n_pad = round_up(csr.nrows, nd)
+        self.rows_per_dev = self.n_pad // nd
+
+        # --- host-side partition: rows (and x rows) by contiguous range ---
+        parts: list[CsrGraph] = []
+        bounds = [
+            (d * self.rows_per_dev, min((d + 1) * self.rows_per_dev, csr.nrows))
+            for d in range(nd)
+        ]
+        for lo, hi in bounds:
+            e0, e1 = int(csr.rowptr[lo]), int(csr.rowptr[hi]) if hi > lo else (0, 0)
+            rowptr = csr.rowptr[lo : hi + 1] - csr.rowptr[lo]
+            rowptr = np.concatenate(
+                [rowptr, np.full(self.rows_per_dev - (hi - lo), rowptr[-1],
+                                 dtype=rowptr.dtype)]
+            )
+            parts.append(
+                CsrGraph(
+                    rowptr=rowptr.astype(np.int32),
+                    colind=csr.colind[e0:e1].copy(),
+                    vals=csr.vals[e0:e1].copy(),
+                    ncols=csr.ncols,
+                )
+            )
+
+        if exchange == "all_to_all":
+            self._plan_all_to_all(parts, bounds)
+        else:
+            self._plan_all_gather(parts)
+        self._x_sharding = NamedSharding(mesh, P("nodes"))
+        self._run = self._build_run()
+
+    # ----------------------------------------------------------- planning
+
+    def _ell_tables(self, parts, ncols_local_fn):
+        """Shared-shape ELL tables per device part."""
+        cfg = self.config
+        nb = cfg.resolve_n_blocks(max(1, max(p.nnz for p in parts)))
+        plans = [make_row_block_plan(p, nb, balance=cfg.balance) for p in parts]
+        rows_pad = max(pl.rows_pad for pl in plans)
+        nnz_pad = max(pl.nnz_pad for pl in plans)
+        plans = [with_padding(pl, rows_pad, nnz_pad) for pl in plans]
+        ells = [build_ell_blocks(p, pl) for p, pl in zip(parts, plans)]
+        self.rows_pad, self.n_blocks = rows_pad, nb
+        sh = NamedSharding(self.mesh, P("nodes"))
+        return {
+            "colind": jax.device_put(np.stack([e.colind for e in ells]), sh),
+            "vals": jax.device_put(np.stack([e.vals for e in ells]), sh),
+            "rowloc": jax.device_put(np.stack([e.rowloc for e in ells]), sh),
+            "row_slot": jax.device_put(
+                np.stack([row_slot_table(pl) for pl in plans]), sh
+            ),
+        }
+
+    def _plan_all_gather(self, parts):
+        # colind stays global; each shard gathers from the replicated x
+        self._dev = self._ell_tables(parts, None)
+
+    def _plan_all_to_all(self, parts, bounds):
+        nd, rpd = self.nd, self.rows_per_dev
+        # per device: which remote rows (by owner) do my edges reference?
+        requests = []  # requests[d][peer] = unique global col ids owned by peer
+        for d, p in enumerate(parts):
+            owner = p.colind // rpd
+            req = []
+            for peer in range(nd):
+                cols = np.unique(p.colind[owner == peer])
+                req.append(cols if peer != d else cols[:0])
+            requests.append(req)
+        # pad: K = max over all (d, peer) request sizes, aligned
+        K = max(
+            (len(r) for req in requests for r in req), default=1
+        )
+        K = max(1, round_up(K, 8))
+        self.halo_k = K
+
+        # send_idx[d, peer, K]: LOCAL row ids device d must send to peer
+        # (peer requested them). recv layout: concat over peers -> halo
+        # buffer of shape (nd*K, H) on each device.
+        send_idx = np.zeros((nd, nd, K), dtype=np.int32)
+        for d in range(nd):
+            for peer in range(nd):
+                want = requests[peer][d]  # global ids owned by d, wanted by peer
+                send_idx[d, peer, : len(want)] = want - d * rpd
+        # remap each device's colind into [local | halo] index space:
+        #   local col c (owner==d)  -> c - d*rpd
+        #   remote col c (owner==p) -> rpd + p*K + position in requests[d][p]
+        remapped_parts = []
+        for d, p in enumerate(parts):
+            owner = p.colind // rpd
+            new_col = np.empty_like(p.colind)
+            local = owner == d
+            new_col[local] = p.colind[local] - d * rpd
+            for peer in range(nd):
+                if peer == d:
+                    continue
+                sel = owner == peer
+                if not sel.any():
+                    continue
+                pos = np.searchsorted(requests[d][peer], p.colind[sel])
+                new_col[sel] = rpd + peer * K + pos
+            remapped_parts.append(
+                CsrGraph(
+                    rowptr=p.rowptr, colind=new_col, vals=p.vals,
+                    ncols=rpd + nd * K,
+                )
+            )
+        self._dev = self._ell_tables(remapped_parts, None)
+        self._dev["send_idx"] = jax.device_put(
+            send_idx, NamedSharding(self.mesh, P("nodes"))
+        )
+
+    # ------------------------------------------------------------ run fns
+
+    def _build_run(self):
+        mesh, rows_pad, nd = self.mesh, self.rows_pad, self.nd
+        rpd = self.rows_per_dev
+
+        if self.exchange == "all_gather":
+
+            def local_fn(colind, vals, rowloc, row_slot, x_local):
+                x_full = jax.lax.all_gather(
+                    x_local[0], "nodes", tiled=True
+                )
+                out = blocked_spmm(
+                    colind[0], vals[0], rowloc[0], row_slot[0], x_full,
+                    rows_pad,
+                )
+                return out[None]
+
+            in_specs = (P("nodes"),) * 4 + (P("nodes"),)
+
+            def runner(dev, xp):
+                return jax.shard_map(
+                    local_fn, mesh=mesh, in_specs=in_specs,
+                    out_specs=P("nodes"),
+                )(
+                    dev["colind"], dev["vals"], dev["rowloc"],
+                    dev["row_slot"], xp,
+                )
+
+        else:
+            K = self.halo_k
+
+            def local_fn(colind, vals, rowloc, row_slot, send_idx, x_local):
+                x_loc = x_local[0]                     # (rpd, H)
+                # build per-peer send buffers: rows each peer requested
+                send = jnp.take(x_loc, send_idx[0].reshape(-1), axis=0)
+                send = send.reshape(nd, K, x_loc.shape[1])
+                # all_to_all: peer p's slot d receives what d sent to p
+                # peer p's chunk lands in slot p (ordered by source device)
+                halo = jax.lax.all_to_all(
+                    send, "nodes", split_axis=0, concat_axis=0
+                )
+                x_ext = jnp.concatenate(
+                    [x_loc, halo.reshape(nd * K, -1)], axis=0
+                )
+                out = blocked_spmm(
+                    colind[0], vals[0], rowloc[0], row_slot[0], x_ext,
+                    rows_pad,
+                )
+                return out[None]
+
+            in_specs = (P("nodes"),) * 5 + (P("nodes"),)
+
+            def runner(dev, xp):
+                return jax.shard_map(
+                    local_fn, mesh=mesh, in_specs=in_specs,
+                    out_specs=P("nodes"),
+                )(
+                    dev["colind"], dev["vals"], dev["rowloc"],
+                    dev["row_slot"], dev["send_idx"], xp,
+                )
+
+        def run(xp):
+            # xp: (nd, rpd, H) device-sharded stack
+            out = runner(self._dev, xp)
+            return out.reshape(self.n_pad, -1)[: self.nrows]
+
+        return jax.jit(run)
+
+    def mul(self, x) -> jax.Array:
+        if x.shape[0] != self.nrows:
+            raise ValueError(f"x rows {x.shape[0]} != nrows {self.nrows}")
+        xp = x
+        if self.n_pad != self.nrows:
+            xp = jnp.zeros((self.n_pad, x.shape[1]), dtype=x.dtype)
+            xp = xp.at[: self.nrows].set(x)
+        xp = jax.device_put(
+            xp.reshape(self.nd, self.rows_per_dev, -1), self._x_sharding
+        )
+        return self._run(xp)
+
+
+def prepare_spmm_halo(
+    graph, mesh: Mesh, config: Optional[SpmmConfig] = None,
+    exchange: str = "all_to_all",
+) -> PreparedSpmmHalo:
+    return PreparedSpmmHalo(graph, mesh, config, exchange)
