@@ -1,0 +1,160 @@
+// pygim_tpu native planner — C++ equivalents of the reference's C host
+// runtime's data-preparation layer (backend_pim/*/support/partition.c and
+// the prepare step of spmm_mul_csr.c:118-258), built as a shared library
+// and bound via ctypes (pygim_tpu/core/native.py).
+//
+// The heavy host-side operations during prepare are:
+//   * COO -> CSR conversion (sort + bucket) of 100M+ edge graphs,
+//   * nnz-balanced row-block boundary search,
+//   * padded ELL block-table materialization (colind/vals/rowloc),
+// which in NumPy cost multiple passes and peak 3x memory. These kernels
+// are single-pass, cache-friendly, and OpenMP-free (deterministic).
+//
+// All exported symbols use a flat C ABI: int32/int64/float arrays
+// preallocated by the caller (NumPy), sizes passed explicitly.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// Histogram rows and produce rowptr (size nrows+1). Returns 0 on success.
+int coo_rowptr(const int32_t* rows, int64_t nnz, int32_t nrows,
+               int32_t* rowptr /* nrows+1 */) {
+  std::vector<int64_t> counts(nrows, 0);
+  for (int64_t i = 0; i < nnz; ++i) {
+    int32_t r = rows[i];
+    if (r < 0 || r >= nrows) return -1;
+    counts[r]++;
+  }
+  int64_t acc = 0;
+  rowptr[0] = 0;
+  for (int32_t r = 0; r < nrows; ++r) {
+    acc += counts[r];
+    rowptr[r + 1] = static_cast<int32_t>(acc);
+  }
+  return acc == nnz ? 0 : -2;
+}
+
+// Stable counting-sort COO by row into CSR order, emitting permuted colind
+// and values (float32). rowptr must already be filled by coo_rowptr.
+// (The analog of utils.hpp:87-127 coo2csr, minus the mtx parsing.)
+int coo_to_csr_f32(const int32_t* rows, const int32_t* cols,
+                   const float* vals, int64_t nnz, int32_t nrows,
+                   const int32_t* rowptr, int32_t* out_colind,
+                   float* out_vals) {
+  std::vector<int64_t> cursor(nrows);
+  for (int32_t r = 0; r < nrows; ++r) cursor[r] = rowptr[r];
+  for (int64_t i = 0; i < nnz; ++i) {
+    int64_t p = cursor[rows[i]]++;
+    out_colind[p] = cols[i];
+    out_vals[p] = vals ? vals[i] : 1.0f;
+  }
+  return 0;
+}
+
+// nnz-balanced row-granular block boundaries (partition_by_nnz_csr analog,
+// partition.c:51-99): bounds has n_blocks+1 entries.
+int plan_row_blocks_nnz(const int32_t* rowptr, int32_t nrows,
+                        int32_t n_blocks, int32_t* bounds) {
+  int64_t nnz = rowptr[nrows];
+  bounds[0] = 0;
+  int32_t r = 0;
+  for (int32_t b = 1; b < n_blocks; ++b) {
+    int64_t target = (nnz * b) / n_blocks;
+    while (r < nrows && rowptr[r + 1] < target) ++r;
+    // first row whose cumulative nnz reaches target ends the block
+    int32_t cut = (r < nrows) ? r + 1 : nrows;
+    if (cut < bounds[b - 1]) cut = bounds[b - 1];
+    bounds[b] = cut;
+  }
+  bounds[n_blocks] = nrows;
+  return 0;
+}
+
+// Materialize padded ELL block tables (build_ell_blocks analog — the
+// prepare_pim_csr padding step, spmm_mul_csr.c:152-246). Caller allocates
+// colind/vals/rowloc of shape (n_blocks, nnz_pad); padding convention:
+// colind 0, vals 0, rowloc rows_pad-1.
+int build_ell_blocks_f32(const int32_t* rowptr, const int32_t* colind,
+                         const float* vals, int32_t nrows,
+                         const int32_t* bounds, int32_t n_blocks,
+                         int32_t rows_pad, int32_t nnz_pad,
+                         int32_t* out_colind, float* out_vals,
+                         int32_t* out_rowloc) {
+  for (int32_t b = 0; b < n_blocks; ++b) {
+    int64_t base = static_cast<int64_t>(b) * nnz_pad;
+    int32_t r0 = bounds[b], r1 = bounds[b + 1];
+    int64_t e0 = rowptr[r0], e1 = rowptr[r1];
+    if (e1 - e0 > nnz_pad) return -1;  // capacity violated
+    int64_t k = 0;
+    for (int32_t r = r0; r < r1; ++r) {
+      int32_t rl = r - r0;
+      for (int64_t e = rowptr[r]; e < rowptr[r + 1]; ++e, ++k) {
+        out_colind[base + k] = colind[e];
+        out_vals[base + k] = vals[e];
+        out_rowloc[base + k] = rl;
+      }
+    }
+    for (; k < nnz_pad; ++k) {
+      out_colind[base + k] = 0;
+      out_vals[base + k] = 0.0f;
+      out_rowloc[base + k] = rows_pad - 1;
+    }
+  }
+  return 0;
+}
+
+// Per-block nnz counters for the autotuner's plan statistics
+// (the reference's lost prepare_tune_csr measurement op, SURVEY.md §2.1).
+int block_nnz_counters(const int32_t* rowptr, const int32_t* bounds,
+                       int32_t n_blocks, int64_t* out_nnz_per_block,
+                       int64_t* out_max_nnz) {
+  int64_t mx = 0;
+  for (int32_t b = 0; b < n_blocks; ++b) {
+    int64_t v = rowptr[bounds[b + 1]] - rowptr[bounds[b]];
+    out_nnz_per_block[b] = v;
+    mx = std::max(mx, v);
+  }
+  *out_max_nnz = mx;
+  return 0;
+}
+
+// Column-range split of a CSR operand: count per-row nnz within
+// [col_lo, col_hi) producing the part's rowptr; second call materializes.
+int csr_col_slice_count(const int32_t* rowptr, const int32_t* colind,
+                        int32_t nrows, int32_t col_lo, int32_t col_hi,
+                        int32_t* out_rowptr) {
+  int64_t acc = 0;
+  out_rowptr[0] = 0;
+  for (int32_t r = 0; r < nrows; ++r) {
+    for (int64_t e = rowptr[r]; e < rowptr[r + 1]; ++e) {
+      int32_t c = colind[e];
+      if (c >= col_lo && c < col_hi) ++acc;
+    }
+    out_rowptr[r + 1] = static_cast<int32_t>(acc);
+  }
+  return 0;
+}
+
+int csr_col_slice_fill_f32(const int32_t* rowptr, const int32_t* colind,
+                           const float* vals, int32_t nrows, int32_t col_lo,
+                           int32_t col_hi, int32_t* out_colind,
+                           float* out_vals) {
+  int64_t k = 0;
+  for (int32_t r = 0; r < nrows; ++r) {
+    for (int64_t e = rowptr[r]; e < rowptr[r + 1]; ++e) {
+      int32_t c = colind[e];
+      if (c >= col_lo && c < col_hi) {
+        out_colind[k] = c - col_lo;
+        out_vals[k] = vals[e];
+        ++k;
+      }
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

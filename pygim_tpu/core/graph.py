@@ -218,7 +218,19 @@ def column_split_bounds(ncols: int, nparts: int) -> list[tuple[int, int]]:
 
 
 def coo_to_csr(coo: CooGraph) -> CsrGraph:
-    """Stable COO→CSR conversion (analog of utils.hpp:87-127 ``coo2csr``)."""
+    """COO→CSR conversion (analog of utils.hpp:87-127 ``coo2csr``).
+
+    Uses the native C++ single-pass counting sort when available (float32
+    values), which is row-stable; NumPy lexsort fallback otherwise."""
+    from pygim_tpu.core import native
+
+    if coo.vals.dtype == np.float32:
+        res = native.coo_to_csr_native(coo.rows, coo.cols, coo.vals, coo.nrows)
+        if res is not None:
+            rowptr, colind, vals = res
+            return CsrGraph(
+                rowptr=rowptr, colind=colind, vals=vals, ncols=coo.ncols
+            )
     s = coo.sort_by_row()
     counts = np.bincount(s.rows, minlength=coo.nrows)
     rowptr = np.zeros(coo.nrows + 1, dtype=INDEX_DTYPE)

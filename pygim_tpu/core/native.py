@@ -1,0 +1,130 @@
+"""ctypes bindings for the native C++ planner (native/planner.cpp).
+
+The role the reference's C host runtime plays at prepare time —
+partitioning + padded table materialization (partition.c,
+spmm_mul_csr.c:118-258) — implemented as a C++ shared library. Every entry
+point has a NumPy fallback (the pure-Python planner in
+:mod:`pygim_tpu.core.partition`), so the framework works without a
+compiler; the native path is auto-built on first use when ``make`` and a
+C++ toolchain are present.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+_LIB_NAME = "libpygim_planner.so"
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+
+
+def _build() -> Optional[Path]:
+    so = _NATIVE_DIR / _LIB_NAME
+    if so.exists() and so.stat().st_mtime >= (_NATIVE_DIR / "planner.cpp").stat().st_mtime:
+        return so
+    try:
+        subprocess.run(
+            ["make", "-s"], cwd=_NATIVE_DIR, check=True,
+            capture_output=True, timeout=120,
+        )
+        return so if so.exists() else None
+    except Exception:
+        return None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native planner; None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("PYGIM_TPU_NO_NATIVE"):
+        return None
+    so = _build()
+    if so is None:
+        return None
+    try:
+        lib = ctypes.CDLL(str(so))
+    except OSError:
+        return None
+    lib.coo_rowptr.argtypes = [_i32p, ctypes.c_int64, ctypes.c_int32, _i32p]
+    lib.coo_rowptr.restype = ctypes.c_int
+    lib.coo_to_csr_f32.argtypes = [
+        _i32p, _i32p, _f32p, ctypes.c_int64, ctypes.c_int32, _i32p, _i32p,
+        _f32p,
+    ]
+    lib.coo_to_csr_f32.restype = ctypes.c_int
+    lib.plan_row_blocks_nnz.argtypes = [
+        _i32p, ctypes.c_int32, ctypes.c_int32, _i32p
+    ]
+    lib.plan_row_blocks_nnz.restype = ctypes.c_int
+    lib.build_ell_blocks_f32.argtypes = [
+        _i32p, _i32p, _f32p, ctypes.c_int32, _i32p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, _i32p, _f32p, _i32p,
+    ]
+    lib.build_ell_blocks_f32.restype = ctypes.c_int
+    lib.block_nnz_counters.argtypes = [
+        _i32p, _i32p, ctypes.c_int32, _i64p,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.block_nnz_counters.restype = ctypes.c_int
+    _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    return get_lib() is not None
+
+
+# ------------------------- high-level wrappers ---------------------------
+
+def coo_to_csr_native(rows, cols, vals, nrows: int):
+    """(rowptr, colind, vals) via the native single-pass counting sort;
+    None if the library is unavailable or dtype unsupported."""
+    lib = get_lib()
+    if lib is None or vals.dtype != np.float32:
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.int32)
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    vals = np.ascontiguousarray(vals, dtype=np.float32)
+    nnz = rows.shape[0]
+    rowptr = np.empty(nrows + 1, dtype=np.int32)
+    if lib.coo_rowptr(rows, nnz, nrows, rowptr) != 0:
+        return None
+    colind = np.empty(nnz, dtype=np.int32)
+    out_vals = np.empty(nnz, dtype=np.float32)
+    lib.coo_to_csr_f32(rows, cols, vals, nnz, nrows, rowptr, colind, out_vals)
+    return rowptr, colind, out_vals
+
+
+def build_ell_native(rowptr, colind, vals, bounds, rows_pad, nnz_pad):
+    """Padded ELL tables via native code; None on unavailability."""
+    lib = get_lib()
+    if lib is None or vals.dtype != np.float32:
+        return None
+    nb = bounds.shape[0] - 1
+    nrows = rowptr.shape[0] - 1
+    out_c = np.empty((nb, nnz_pad), dtype=np.int32)
+    out_v = np.empty((nb, nnz_pad), dtype=np.float32)
+    out_r = np.empty((nb, nnz_pad), dtype=np.int32)
+    rc = lib.build_ell_blocks_f32(
+        np.ascontiguousarray(rowptr, np.int32),
+        np.ascontiguousarray(colind, np.int32),
+        np.ascontiguousarray(vals, np.float32),
+        nrows, np.ascontiguousarray(bounds, np.int32), nb,
+        rows_pad, nnz_pad, out_c, out_v, out_r,
+    )
+    if rc != 0:
+        return None
+    return out_c, out_v, out_r

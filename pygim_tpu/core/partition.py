@@ -153,12 +153,26 @@ def build_ell_blocks(csr: CsrGraph, plan: RowBlockPlan) -> EllBlocks:
     tables are needed — the kernel's inner vectorization replaces tasklets.
     """
     nb = plan.n_blocks
+    row_start = plan.bounds[:-1].astype(INDEX_DTYPE)
+    if csr.vals.dtype == np.float32:
+        from pygim_tpu.core import native
+
+        res = native.build_ell_native(
+            csr.rowptr, csr.colind, csr.vals, plan.bounds,
+            plan.rows_pad, plan.nnz_pad,
+        )
+        if res is not None:
+            c, v, r = res
+            return EllBlocks(
+                colind=c, vals=v, rowloc=r, row_start=row_start,
+                rows_pad=plan.rows_pad, nnz_pad=plan.nnz_pad,
+                nrows=csr.nrows, ncols=csr.ncols,
+            )
     colind = np.zeros((nb, plan.nnz_pad), dtype=INDEX_DTYPE)
     vals = np.zeros((nb, plan.nnz_pad), dtype=csr.vals.dtype)
     # padding rowloc targets rows_pad-1; combined with val=0 the padded FMA
     # writes 0 into a real accumulator slot — harmless, no masking needed.
     rowloc = np.full((nb, plan.nnz_pad), plan.rows_pad - 1, dtype=INDEX_DTYPE)
-    row_start = plan.bounds[:-1].astype(INDEX_DTYPE)
     rowptr = csr.rowptr
     rows_of_nnz = np.repeat(
         np.arange(csr.nrows, dtype=np.int64), np.diff(rowptr)
