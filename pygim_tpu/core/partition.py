@@ -192,6 +192,75 @@ def build_ell_blocks(csr: CsrGraph, plan: RowBlockPlan) -> EllBlocks:
 
 
 @dataclasses.dataclass(frozen=True)
+class EllRows:
+    """Fixed-degree row-ELL with virtual-row splitting.
+
+    Every virtual row holds ≤ D edges of ONE source row; rows with degree
+    > D are split into several virtual rows (the TPU answer to the
+    reference's hub-row problem that its tasklet nnz-splitting + lock
+    schemes address, partition.c:231-261 / spmm_mul_coo_dpu.c:28-42) and
+    merged afterwards by one sorted segment-sum over virtual rows.
+
+    ``cols``/``vals``: (n_virtual_pad, D) — padding entries col 0 / val 0.
+    ``vrow_to_row``: (n_virtual_pad,) destination row per virtual row
+    (padding targets row 0 with zero values — harmless).
+    """
+
+    cols: np.ndarray
+    vals: np.ndarray
+    vrow_to_row: np.ndarray
+    degree: int
+    n_virtual: int
+    nrows: int
+    ncols: int
+
+
+def choose_ell_degree(row_lengths: np.ndarray) -> int:
+    """Auto degree: the p60 positive degree, 4-aligned, clamped [4, 128] —
+    balances padding waste (low-degree rows) against virtual-row count."""
+    pos = row_lengths[row_lengths > 0]
+    if pos.size == 0:
+        return 4
+    d = int(np.percentile(pos, 60))
+    return int(min(128, max(4, round_up(max(d, 1), 4))))
+
+
+def build_ell_rows(
+    csr: CsrGraph, degree: Optional[int] = None, *, row_chunk: int = 1
+) -> EllRows:
+    """Vectorized construction of the fixed-degree tables.
+
+    ``row_chunk`` pads n_virtual to a multiple (scan-step divisibility).
+    """
+    deg = np.diff(csr.rowptr).astype(np.int64)
+    D = degree if degree is not None else choose_ell_degree(deg)
+    n_vr_per_row = -(-deg // D)  # 0 for empty rows
+    vrow_offset = np.zeros(csr.nrows + 1, dtype=np.int64)
+    np.cumsum(n_vr_per_row, out=vrow_offset[1:])
+    n_virtual = int(vrow_offset[-1])
+    n_virtual_pad = round_up(max(n_virtual, 1), row_chunk)
+
+    cols = np.zeros((n_virtual_pad, D), dtype=INDEX_DTYPE)
+    vals = np.zeros((n_virtual_pad, D), dtype=csr.vals.dtype)
+    vrow_to_row = np.zeros(n_virtual_pad, dtype=INDEX_DTYPE)
+    rows_of_nnz = np.repeat(np.arange(csr.nrows, dtype=np.int64), deg)
+    pos_in_row = np.arange(csr.nnz, dtype=np.int64) - np.repeat(
+        csr.rowptr[:-1].astype(np.int64), deg
+    )
+    gvr = vrow_offset[rows_of_nnz] + pos_in_row // D
+    slot = pos_in_row % D
+    flat = gvr * D + slot
+    cols.reshape(-1)[flat] = csr.colind
+    vals.reshape(-1)[flat] = csr.vals
+    nz_rows = np.flatnonzero(n_vr_per_row)
+    vrow_to_row[:n_virtual] = np.repeat(nz_rows, n_vr_per_row[nz_rows])
+    return EllRows(
+        cols=cols, vals=vals, vrow_to_row=vrow_to_row, degree=D,
+        n_virtual=n_virtual, nrows=csr.nrows, ncols=csr.ncols,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
 class CooChunks:
     """Exact-nnz COO chunking with mid-row cuts allowed — the analog of
     ``partition_tsklt_by_nnz_coo`` (partition.c:231-261). Rows straddling

@@ -35,6 +35,7 @@ from pygim_tpu.core.graph import CooGraph, CsrGraph
 from pygim_tpu.core.partition import (
     build_coo_chunks,
     build_ell_blocks,
+    build_ell_rows,
     make_row_block_plan,
     round_up,
     row_slot_table,
@@ -52,10 +53,11 @@ class SpmmConfig:
     """
 
     format: str = "csr"              # csr | coo
-    backend: str = "blocked"         # oracle | blocked | coo | pallas
+    backend: str = "blocked"         # oracle | blocked | ell | coo | pallas
     balance: str = "nnz"             # nnz | row   (partition.c analogs)
     n_blocks: Optional[int] = None   # explicit override
     block_nnz_budget: int = 1 << 17  # ~128k nnz/block
+    ell_degree: Optional[int] = None # ell backend: fixed degree (auto=None)
     interpret: bool = False          # pallas interpreter mode (tests)
 
     def resolve_n_blocks(self, nnz: int) -> int:
@@ -142,6 +144,23 @@ class PreparedSpmm:
             }
             self.rows_pad = plan.rows_pad
             self.nnz_pad = plan.nnz_pad
+        elif backend == "ell":
+            csr = csr if csr is not None else coo.to_csr()
+            from pygim_tpu.core.partition import choose_ell_degree
+
+            degree = config.ell_degree or choose_ell_degree(csr.row_lengths)
+            # rows per scan chunk so each step gathers ~block_nnz_budget
+            chunk = max(8, round_up(
+                max(1, config.block_nnz_budget // degree), 8
+            ))
+            ell = build_ell_rows(csr, degree, row_chunk=chunk)
+            self.ell_degree = ell.degree
+            self.row_chunk = chunk
+            self._dev = {
+                "cols2d": jnp.asarray(ell.cols),
+                "vals2d": jnp.asarray(ell.vals),
+                "vrow_to_row": jnp.asarray(ell.vrow_to_row),
+            }
         elif backend == "coo":
             coo = coo if coo is not None else csr.to_coo()
             nb = config.resolve_n_blocks(coo.nnz)
@@ -178,6 +197,39 @@ def _make_run(backend: str, prep: PreparedSpmm):
         @jax.jit
         def run(x, colind, vals, rowloc, row_slot):
             return blocked_spmm(colind, vals, rowloc, row_slot, x, rows_pad)
+        return run
+
+    if backend == "ell":
+        chunk = prep.row_chunk
+        degree = prep.ell_degree
+
+        @jax.jit
+        def run(x, cols2d, vals2d, vrow_to_row):
+            acc = accum_dtype(jnp.result_type(vals2d.dtype, x.dtype))
+            h = x.shape[1]
+            n_steps = cols2d.shape[0] // chunk
+
+            def body(_, blk):
+                c, v = blk
+                g = jnp.take(x, c.reshape(-1), axis=0).reshape(
+                    chunk, degree, h
+                )
+                return None, jnp.sum(
+                    g.astype(acc) * v[..., None].astype(acc), axis=1
+                )
+
+            _, partial = jax.lax.scan(
+                body, None,
+                (
+                    cols2d.reshape(n_steps, chunk, degree),
+                    vals2d.reshape(n_steps, chunk, degree),
+                ),
+            )
+            # merge virtual rows (hub splits) — one sorted segment-sum
+            return jax.ops.segment_sum(
+                partial.reshape(-1, h), vrow_to_row,
+                num_segments=nrows, indices_are_sorted=True,
+            )
         return run
 
     if backend == "coo":

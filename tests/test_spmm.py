@@ -11,7 +11,7 @@ def _dense_ref(coo, x):
     return coo.to_dense().astype(np.float64) @ x.astype(np.float64)
 
 
-@pytest.mark.parametrize("backend", ["oracle", "blocked", "coo"])
+@pytest.mark.parametrize("backend", ["oracle", "blocked", "ell", "coo"])
 @pytest.mark.parametrize("dtype", ["float32", "int32"])
 def test_backend_matches_dense(rng, backend, dtype):
     coo = random_coo(rng, nrows=150, ncols=120, nnz=900, dtype=dtype)
@@ -87,3 +87,33 @@ def test_sddmm_oracle(rng):
         "kd,kd->k", a[coo.rows].astype(np.float64), b[coo.cols].astype(np.float64)
     )
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_ell_hub_row_splitting(rng):
+    """A hub row with degree >> D must split into virtual rows and merge."""
+    import numpy as np
+
+    from pygim_tpu.core.graph import CooGraph
+
+    n = 64
+    hub_cols = rng.integers(0, n, 500)
+    other = rng.integers(1, n, (200, 2))
+    rows = np.concatenate([np.zeros(500, dtype=int), other[:, 0]])
+    cols = np.concatenate([hub_cols, other[:, 1]])
+    coo = CooGraph.from_edges(rows, cols, nrows=n, ncols=n)
+    x = rng.standard_normal((n, 16)).astype(np.float32)
+    prep = prepare_spmm(coo, SpmmConfig(backend="ell", ell_degree=8))
+    assert prep.ell_degree == 8
+    np.testing.assert_allclose(
+        np.asarray(prep.mul(x)), _dense_ref(coo, x), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_ell_auto_degree(rng):
+    coo = random_coo(rng, nrows=200, ncols=200, nnz=3000)
+    x = rng.standard_normal((200, 8)).astype(np.float32)
+    prep = prepare_spmm(coo, SpmmConfig(backend="ell"))
+    assert 4 <= prep.ell_degree <= 128
+    np.testing.assert_allclose(
+        np.asarray(prep.mul(x)), _dense_ref(coo, x), rtol=1e-4, atol=1e-4
+    )
