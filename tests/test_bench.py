@@ -80,3 +80,32 @@ def test_frozen_name_stable():
     e = Experiment(dataset="tiny")
     assert e.frozen_name() == Experiment(dataset="tiny").frozen_name()
     assert e.frozen_name() != Experiment(dataset="small").frozen_name()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax
+
+    from pygim_tpu.nn.checkpoint import restore_checkpoint, save_checkpoint
+    from pygim_tpu.nn.models import make_gnn
+
+    model = make_gnn(jax.random.key(0), "gcn", 8, 16, 4)
+    save_checkpoint(tmp_path / "ck", model.params, step=7)
+    template = make_gnn(jax.random.key(1), "gcn", 8, 16, 4).params
+    restored, step = restore_checkpoint(tmp_path / "ck", template)
+    assert step == 7
+    np.testing.assert_array_equal(
+        np.asarray(restored["ln1"]["w"]), np.asarray(model.params["ln1"]["w"])
+    )
+
+
+def test_checkpoint_shape_mismatch(tmp_path):
+    import jax
+
+    from pygim_tpu.nn.checkpoint import restore_checkpoint, save_checkpoint
+    from pygim_tpu.nn.models import make_gnn
+
+    model = make_gnn(jax.random.key(0), "gcn", 8, 16, 4)
+    save_checkpoint(tmp_path / "ck", model.params)
+    other = make_gnn(jax.random.key(0), "gcn", 8, 32, 4).params
+    with pytest.raises(ValueError):
+        restore_checkpoint(tmp_path / "ck", other)
