@@ -51,7 +51,7 @@ def main():
         f"({'synthetic' if ds.synthetic else 'real'})  [{time.time()-t_start:.0f}s]"
     )
 
-    cfg = SpmmConfig(backend=os.environ.get("PYGIM_BENCH_BACKEND", "blocked"),
+    cfg = SpmmConfig(backend=os.environ.get("PYGIM_BENCH_BACKEND", "ell"),
                      format="csr")
     t0 = time.time()
     prep = prepare_spmm(graph, cfg)

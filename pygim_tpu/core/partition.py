@@ -216,13 +216,21 @@ class EllRows:
 
 
 def choose_ell_degree(row_lengths: np.ndarray) -> int:
-    """Auto degree: the p60 positive degree, 4-aligned, clamped [4, 128] —
-    balances padding waste (low-degree rows) against virtual-row count."""
-    pos = row_lengths[row_lengths > 0]
-    if pos.size == 0:
+    """Auto degree D: argmin over candidates of the padded edge count
+    ``Σ_r ceil(deg_r / D) · D`` plus a small per-virtual-row overhead term
+    (each virtual row costs one merge slot in the final segment-sum). This
+    directly minimizes the gather-bound runtime model: padded edges are
+    gathered, virtual rows are scattered."""
+    deg = row_lengths[row_lengths > 0].astype(np.int64)
+    if deg.size == 0:
         return 4
-    d = int(np.percentile(pos, 60))
-    return int(min(128, max(4, round_up(max(d, 1), 4))))
+    best_d, best_cost = 4, float("inf")
+    for d in (4, 8, 16, 24, 32, 48, 64, 96, 128):
+        n_vr = -(-deg // d)
+        cost = float(n_vr.sum() * d) + 2.0 * float(n_vr.sum())
+        if cost < best_cost - 1e-9:
+            best_d, best_cost = d, cost
+    return best_d
 
 
 def build_ell_rows(

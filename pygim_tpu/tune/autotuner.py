@@ -45,7 +45,7 @@ _CACHE_DIR = Path(
 DEFAULT_SPACE = (
     For("balance", ["nnz", "row"])
     * For("block_nnz_budget", [1 << 15, 1 << 17, 1 << 19])
-    * For("backend", ["blocked"])
+    * For("backend", ["blocked", "ell"])
 )
 
 
@@ -68,8 +68,22 @@ def plan_statistics(
     nnz_per_block = (
         csr.rowptr[plan.bounds[1:]] - csr.rowptr[plan.bounds[:-1]]
     )
-    padded_nnz = nb * plan.nnz_pad
+    if config.backend == "ell":
+        from pygim_tpu.core.partition import choose_ell_degree
+
+        deg = np.diff(csr.rowptr).astype(np.int64)
+        D = config.ell_degree or choose_ell_degree(deg)
+        n_vr = -(-deg[deg > 0] // D)
+        padded_nnz = int(n_vr.sum() * D)
+        # merge of virtual rows: one write + one scattered read per vrow
+        scatter_bytes = 2 * int(n_vr.sum()) * h_local * dtype_bytes
+    else:
+        padded_nnz = nb * plan.nnz_pad
+        # blocked/coo materialize the gathered contribution then
+        # scatter-read it in the segment-sum (the measured amplification)
+        scatter_bytes = 2 * padded_nnz * h_local * dtype_bytes
     return {
+        "scatter_bytes": scatter_bytes,
         # dominant term: one dense row read per (local) nnz
         "gather_bytes": padded_nnz / max(1, sp) * h_local * dtype_bytes * sp
         if sp == 1
