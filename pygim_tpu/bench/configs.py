@@ -1,0 +1,41 @@
+"""Named experiment sets — utils/configs.py analog, extended with the
+BASELINE.md tracked configurations."""
+
+from __future__ import annotations
+
+from pygim_tpu.bench.experiment import Experiment
+from pygim_tpu.tune.space import For, Table
+
+# reference sets (utils/configs.py:3-14)
+NR_BLOCK_BUDGETS = {"set_1": [1 << 14, 1 << 15, 1 << 16, 1 << 17, 1 << 19]}
+DATASETS = {
+    "set_1": ["pubmed", "ogbn-arxiv", "reddit", "ogbn-products"],
+    "small": ["tiny", "small"],
+}
+
+# BASELINE.md §3 tracked configs
+BASELINE_EXPERIMENTS = [
+    # (1) single SpMM Reddit CSR FLT32 h=256
+    Experiment(dataset="reddit", kind="spmm", sp_format="csr",
+               dtype="float32", hidden=256, backend="ell"),
+    # (2) 2-layer GCN Reddit FLT32
+    Experiment(dataset="reddit", kind="inference", model="gcn",
+               num_layers=2, dtype="float32", hidden=256, backend="ell"),
+    # (3) GIN + SAGE on ogbn-arxiv, COO vs CSR, autotuned
+    Experiment(dataset="ogbn-arxiv", kind="inference", model="gin",
+               sp_format="coo", tune=True),
+    Experiment(dataset="ogbn-arxiv", kind="inference", model="sage",
+               sp_format="csr", tune=True),
+    # (4) INT8-quantized GCN on ogbn-products
+    Experiment(dataset="ogbn-products", kind="inference", model="gcn",
+               dtype="int8", backend="ell"),
+]
+
+
+def sweep_space(datasets: str = "small"):
+    """A default sweep: datasets × backends × balance."""
+    return (
+        For("dataset", DATASETS[datasets])
+        * For("backend", ["blocked", "ell"])
+        * For("balance", ["nnz", "row"])
+    )
