@@ -1,0 +1,81 @@
+"""Numerical validation: per-layer activation comparison vs the oracle
+path — the BASELINE.md validation clause ("per-layer activations allclose
+vs CPU reference; matched node-classification accuracy"), and the
+capability the reference sketched in commented-out block checks
+(spmm_mul_csr.c:414-477, [OK]/[ERROR] verdicts)."""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from pygim_tpu.nn import layers as L
+from pygim_tpu.nn.models import GNN, _CONV_APPLY
+from pygim_tpu.ops.spmm import SpmmConfig, prepare_spmm
+from pygim_tpu.utils.metrics import DataReporter
+
+
+def layer_activations(model: GNN, x, aggregate) -> list[np.ndarray]:
+    """Forward pass capturing the activation after every stage (input
+    projection, each conv block, output head)."""
+    p = model.params
+    acts = []
+    h = L.linear_apply(p["ln1"], x)
+    h = jax.nn.relu(L.batchnorm_apply(p["bn0"], h))
+    acts.append(np.asarray(h))
+    conv_apply = _CONV_APPLY[model.conv]
+    for i in range(model.num_layers):
+        h = conv_apply(p["convs"][i], h, aggregate, agg_dtype=model.agg_dtype)
+        h = jax.nn.relu(L.batchnorm_apply(p["bns"][i], h))
+        acts.append(np.asarray(h))
+    acts.append(np.asarray(L.linear_apply(p["ln2"], h)))
+    return acts
+
+
+def validate_model(
+    model: GNN,
+    x,
+    aggregate,
+    oracle_aggregate,
+    *,
+    rtol: float = 1e-4,
+    atol: float = 1e-4,
+    reporter: Optional[DataReporter] = None,
+) -> bool:
+    """Compare per-layer activations of ``aggregate`` vs the oracle.
+    Reports ``layer{i}_max_err`` and a final [OK]/[ERROR] verdict."""
+    rep = reporter or DataReporter(echo=False)
+    got = layer_activations(model, x, aggregate)
+    ref = layer_activations(model, x, oracle_aggregate)
+    ok = True
+    for i, (g, r) in enumerate(zip(got, ref)):
+        err = float(np.max(np.abs(g - r))) if g.size else 0.0
+        rep.report(f"layer{i}_max_err", err)
+        scale = max(1.0, float(np.max(np.abs(r)))) if r.size else 1.0
+        if err > atol + rtol * scale:
+            ok = False
+    rep.report("validate", "OK" if ok else "ERROR")
+    return ok
+
+
+def validate_backend(
+    graph, hidden: int, config: SpmmConfig, *, n_check_cols: int = 32,
+    seed: int = 0, rtol: float = 1e-4, atol: float = 1e-4,
+) -> bool:
+    """Direct SpMM check of ``config`` vs the oracle backend on a random
+    dense operand (full-matrix allclose; use runners' sampled check for
+    100M-edge graphs)."""
+    rng = np.random.default_rng(seed)
+    import jax.numpy as jnp
+
+    x = jnp.asarray(
+        rng.standard_normal((graph.ncols, min(hidden, n_check_cols))),
+        dtype=jnp.float32,
+    )
+    got = np.asarray(prepare_spmm(graph, config).mul(x))
+    ref = np.asarray(
+        prepare_spmm(graph, SpmmConfig(backend="oracle")).mul(x)
+    )
+    return np.allclose(got, ref, rtol=rtol, atol=atol)

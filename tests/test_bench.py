@@ -109,3 +109,38 @@ def test_checkpoint_shape_mismatch(tmp_path):
     other = make_gnn(jax.random.key(0), "gcn", 8, 32, 4).params
     with pytest.raises(ValueError):
         restore_checkpoint(tmp_path / "ck", other)
+
+
+def test_validate_model_per_layer(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from pygim_tpu.bench.validate import validate_backend, validate_model
+    from pygim_tpu.data import load_dataset
+    from pygim_tpu.nn.models import make_gnn
+    from pygim_tpu.ops.spmm import SpmmConfig, prepare_spmm
+
+    ds = load_dataset("tiny", root=str(tmp_path))
+    model = make_gnn(jax.random.key(0), "gcn", ds.x.shape[1], 16, 4)
+    x = jnp.asarray(ds.x[:, :], dtype=jnp.float32)
+    fast = prepare_spmm(ds.graph, SpmmConfig(backend="ell"))
+    oracle = prepare_spmm(ds.graph, SpmmConfig(backend="oracle"))
+    assert validate_model(model, x, fast.mul, oracle.mul)
+    assert validate_backend(ds.graph, 32, SpmmConfig(backend="blocked"))
+
+
+def test_validate_catches_broken_aggregate(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from pygim_tpu.bench.validate import validate_model
+    from pygim_tpu.data import load_dataset
+    from pygim_tpu.nn.models import make_gnn
+    from pygim_tpu.ops.spmm import SpmmConfig, prepare_spmm
+
+    ds = load_dataset("tiny", root=str(tmp_path))
+    model = make_gnn(jax.random.key(0), "gcn", ds.x.shape[1], 16, 4)
+    x = jnp.asarray(ds.x, dtype=jnp.float32)
+    oracle = prepare_spmm(ds.graph, SpmmConfig(backend="oracle"))
+    broken = lambda v: oracle.mul(v) * 1.01  # 1% systematic error
+    assert not validate_model(model, x, broken, oracle.mul)
