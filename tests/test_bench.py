@@ -144,3 +144,33 @@ def test_validate_catches_broken_aggregate(tmp_path):
     oracle = prepare_spmm(ds.graph, SpmmConfig(backend="oracle"))
     broken = lambda v: oracle.mul(v) * 1.01  # 1% systematic error
     assert not validate_model(model, x, broken, oracle.mul)
+
+
+def test_compat_api(tmp_path):
+    from pygim_tpu import compat
+    from pygim_tpu.data import load_dataset
+
+    ds = load_dataset("tiny", root=str(tmp_path))
+    import jax.numpy as jnp
+
+    x = jnp.ones((ds.graph.ncols, 16), dtype=jnp.float32)
+    for prep in [
+        compat.prepare_pim_spmm(ds.graph, sp_parts=2, ds_parts=2),
+        compat.prepare_pim_spmm_grande(ds.graph, sp_parts=2),
+        compat.prepare_pim_spmv(ds.graph, hidden_size=16),
+    ]:
+        out = np.asarray(prep.mul(x))
+        assert out.shape == (ds.graph.nrows, 16)
+
+
+def test_scaling_benchmark_virtual_mesh(tmp_path):
+    from pygim_tpu.bench.scaling import run_scaling_benchmark
+    from pygim_tpu.data import load_dataset
+
+    ds = load_dataset("tiny", root=str(tmp_path))
+    means = run_scaling_benchmark(
+        ds, device_counts=[1, 4], hidden=16, repeat=1,
+        reporter=DataReporter(echo=False),
+    )
+    assert "edges_per_s_n1" in means
+    assert "scaling_efficiency_n4" in means
