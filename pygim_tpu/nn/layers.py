@@ -65,6 +65,23 @@ def batchnorm_apply(p, x, eps: float = 1e-5):
     return (x - p["mean"]) * inv * p["scale"] + p["bias"]
 
 
+def batchnorm_train_apply(p, x, eps: float = 1e-5, momentum: float = 0.1):
+    """Training-mode BatchNorm: batch stats for the forward value, and the
+    updated running stats returned alongside (caller merges them back into
+    the parameter pytree — pure-functional torch BatchNorm1d semantics)."""
+    mean = jnp.mean(x, axis=0)
+    var = jnp.var(x, axis=0)
+    inv = jax.lax.rsqrt(var + eps)
+    y = (x - mean) * inv * p["scale"] + p["bias"]
+    n = x.shape[0]
+    unbiased = var * (n / max(1, n - 1))
+    new_stats = {
+        "mean": (1 - momentum) * p["mean"] + momentum * mean,
+        "var": (1 - momentum) * p["var"] + momentum * unbiased,
+    }
+    return y, new_stats
+
+
 def dropout(key, x, rate: float, training: bool):
     if not training or rate == 0.0:
         return x

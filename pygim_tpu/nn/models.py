@@ -89,7 +89,11 @@ _CONV_APPLY = {
 def gnn_apply(
     params, x, aggregate, *, conv: str, num_layers: int,
     dropout_rate: float, agg_dtype, training: bool = False, rng=None,
+    return_bn_stats: bool = False,
 ):
+    """Forward pass. Under training, BatchNorm uses batch statistics; with
+    ``return_bn_stats=True`` the updated running stats are returned as a
+    second output ``{"bn0": .., "bns": [..]}`` for the caller to merge."""
     conv_apply = _CONV_APPLY[conv]
     n_drops = num_layers + 1
     if training:
@@ -99,13 +103,38 @@ def gnn_apply(
     else:
         drop_keys = [None] * n_drops
 
+    def bn(p, h):
+        if training:
+            y, stats = L.batchnorm_train_apply(p, h)
+            return y, jax.lax.stop_gradient(stats)
+        return L.batchnorm_apply(p, h), None
+
+    bn_stats = {"bns": []}
     x = L.linear_apply(params["ln1"], x)
-    x = L.batchnorm_apply(params["bn0"], x)
+    x, bn_stats["bn0"] = bn(params["bn0"], x)
     x = jax.nn.relu(x)
     x = L.dropout(drop_keys[0], x, dropout_rate, training)
     for i in range(num_layers):
         x = conv_apply(params["convs"][i], x, aggregate, agg_dtype=agg_dtype)
-        x = L.batchnorm_apply(params["bns"][i], x)
+        x, s = bn(params["bns"][i], x)
+        bn_stats["bns"].append(s)
         x = jax.nn.relu(x)
         x = L.dropout(drop_keys[1 + i], x, dropout_rate, training)
-    return L.linear_apply(params["ln2"], x)
+    out = L.linear_apply(params["ln2"], x)
+    if return_bn_stats:
+        return out, bn_stats
+    return out
+
+
+def merge_bn_stats(params, bn_stats):
+    """Merge running-stat updates from :func:`gnn_apply` back into the
+    parameter pytree (pure: returns a new pytree)."""
+    import copy
+
+    new = copy.copy(params)
+    if bn_stats.get("bn0") is not None:
+        new["bn0"] = {**params["bn0"], **bn_stats["bn0"]}
+    new["bns"] = [
+        {**p, **(s or {})} for p, s in zip(params["bns"], bn_stats["bns"])
+    ]
+    return new

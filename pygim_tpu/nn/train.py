@@ -43,18 +43,23 @@ def make_train_step(
     opt_state, loss)`` — jittable; ``aggregate`` may be a sharded 2D-mesh
     product (psum inside shard_map differentiates cleanly)."""
 
+    from pygim_tpu.nn.models import merge_bn_stats
+
     def loss_fn(params, x, labels, mask, rng):
-        logits = gnn_apply(
+        logits, bn_stats = gnn_apply(
             params, x, aggregate, conv=model.conv,
             num_layers=model.num_layers, dropout_rate=model.dropout,
-            agg_dtype=None, training=True, rng=rng,
+            agg_dtype=None, training=True, rng=rng, return_bn_stats=True,
         )
-        return softmax_cross_entropy(logits, labels, mask)
+        return softmax_cross_entropy(logits, labels, mask), bn_stats
 
     def train_step(params, opt_state, x, labels, mask, rng):
-        loss, grads = jax.value_and_grad(loss_fn)(params, x, labels, mask, rng)
+        (loss, bn_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, x, labels, mask, rng
+        )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        params = merge_bn_stats(params, bn_stats)
         return params, opt_state, loss
 
     return train_step
