@@ -115,3 +115,51 @@ def test_big_graph_planner_fast(rng):
     per_block = csr.rowptr[plan.bounds[1:]] - csr.rowptr[plan.bounds[:-1]]
     mean = csr.nnz / 64
     assert per_block.max() < 1.5 * mean  # well balanced
+
+
+def test_add_self_loops(rng):
+    from pygim_tpu.core.transforms import add_self_loops
+
+    g = CooGraph.from_edges([0, 1, 2], [1, 1, 0], nrows=3, ncols=3)
+    g2 = add_self_loops(g)
+    dense = g2.to_dense()
+    assert dense[0, 0] == 1 and dense[2, 2] == 1
+    assert dense[1, 1] == 1  # (1,1) already present stays single
+    assert g2.nnz == 5
+
+
+def test_gcn_norm_row_col_symmetric(rng):
+    from pygim_tpu.core.transforms import gcn_norm, to_undirected
+    from tests.conftest import random_coo
+
+    base = random_coo(rng, nrows=50, ncols=50, nnz=300)
+    base = CooGraph.from_edges(base.rows, base.cols, nrows=50, ncols=50)
+    g = to_undirected(base)  # binary symmetric adjacency
+    gn = gcn_norm(g)
+    dense = gn.to_dense()
+    # symmetric input stays symmetric under D^-1/2 A D^-1/2
+    np.testing.assert_allclose(dense, dense.T, atol=1e-6)
+    # spectral radius <= 1 for the normalized adjacency with self-loops
+    w = np.linalg.eigvalsh(dense)
+    assert w.max() <= 1.0 + 1e-5
+
+
+def test_mean_aggregate_norm(rng):
+    from pygim_tpu.core.transforms import mean_aggregate_norm
+    from tests.conftest import random_coo
+
+    g = random_coo(rng, nrows=40, ncols=40, nnz=200)
+    g = CooGraph.from_edges(g.rows, g.cols, nrows=40, ncols=40)
+    gm = mean_aggregate_norm(g)
+    sums = gm.to_dense().sum(axis=1)
+    nz = np.bincount(g.rows, minlength=40) > 0
+    np.testing.assert_allclose(sums[nz], 1.0, atol=1e-6)
+
+
+def test_to_undirected_sums_duplicates():
+    from pygim_tpu.core.transforms import to_undirected
+
+    g = CooGraph.from_edges([0, 1], [1, 0], [2.0, 3.0], nrows=2, ncols=2)
+    u = to_undirected(g)
+    dense = u.to_dense()
+    assert dense[0, 1] == 5.0 and dense[1, 0] == 5.0
