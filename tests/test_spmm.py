@@ -117,3 +117,17 @@ def test_ell_auto_degree(rng):
     np.testing.assert_allclose(
         np.asarray(prep.mul(x)), _dense_ref(coo, x), rtol=1e-4, atol=1e-4
     )
+
+
+def test_sddmm_blocked_matches_oracle(rng):
+    from pygim_tpu.ops.reference import sddmm_coo_oracle
+    from pygim_tpu.ops.sddmm import SddmmConfig, prepare_sddmm
+
+    coo = random_coo(rng, nrows=120, ncols=90, nnz=700)
+    a = rng.standard_normal((120, 32)).astype(np.float32)
+    b = rng.standard_normal((90, 32)).astype(np.float32)
+    prep = prepare_sddmm(coo, SddmmConfig(edge_chunk=128))
+    got = np.asarray(prep.run(a, b))
+    s = coo.sort_by_row()
+    ref = np.asarray(sddmm_coo_oracle(s.rows, s.cols, a, b))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
