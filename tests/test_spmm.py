@@ -131,3 +131,27 @@ def test_sddmm_blocked_matches_oracle(rng):
     s = coo.sort_by_row()
     ref = np.asarray(sddmm_coo_oracle(s.rows, s.cols, a, b))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_backend_interpret(rng):
+    """Pallas kernel correctness via interpreter mode (real-TPU runs are
+    exercised by bench/autotune on hardware)."""
+    coo = random_coo(rng, nrows=96, ncols=96, nnz=600)
+    x = rng.standard_normal((96, 128)).astype(np.float32)
+    prep = prepare_spmm(
+        coo, SpmmConfig(backend="pallas", n_blocks=2, interpret=True)
+    )
+    out = np.asarray(prep.mul(x))
+    np.testing.assert_allclose(out, _dense_ref(coo, x), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_backend_rejects_large_x(rng):
+    import pytest as _pytest
+
+    coo = random_coo(rng, nrows=300, ncols=300, nnz=900)
+    prep = prepare_spmm(
+        coo, SpmmConfig(backend="pallas", n_blocks=2, interpret=True)
+    )
+    big_x = np.zeros((300, 32 * 1024), dtype=np.float32)  # > VMEM budget
+    with _pytest.raises(ValueError):
+        prep.mul(big_x)
