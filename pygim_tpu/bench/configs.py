@@ -4,7 +4,7 @@ BASELINE.md tracked configurations."""
 from __future__ import annotations
 
 from pygim_tpu.bench.experiment import Experiment
-from pygim_tpu.tune.space import For, Table
+from pygim_tpu.tune.space import For
 
 # reference sets (utils/configs.py:3-14)
 NR_BLOCK_BUDGETS = {"set_1": [1 << 14, 1 << 15, 1 << 16, 1 << 17, 1 << 19]}

@@ -6,7 +6,7 @@ capability the reference sketched in commented-out block checks
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import numpy as np

@@ -18,7 +18,7 @@ from typing import Optional
 
 import jax
 
-from pygim_tpu.ops.spmm import PreparedSpmm, SpmmConfig, prepare_spmm
+from pygim_tpu.ops.spmm import SpmmConfig, prepare_spmm
 
 
 def _mesh_or_none(sp_parts: int, ds_parts: int):

@@ -17,7 +17,7 @@ All three share the quantize → ``adj.mul`` → dequantize aggregate hook
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

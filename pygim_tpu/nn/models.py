@@ -14,10 +14,9 @@ PreparedSpmm.mul, or a sharded 2D mesh product.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
-import jax.numpy as jnp
 
 from pygim_tpu.nn import layers as L
 

@@ -9,8 +9,7 @@ gradient, matching the standard practice of quantizing only for inference.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,6 @@ Backends
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional
 
 import jax

@@ -24,7 +24,6 @@ run-many, SURVEY.md §1 invariant).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional
 
 import jax
@@ -33,7 +32,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
-from pygim_tpu.core.graph import CooGraph, CsrGraph
+from pygim_tpu.core.graph import CsrGraph
 from pygim_tpu.core.partition import (
     build_ell_blocks,
     make_row_block_plan,

@@ -26,7 +26,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
-from pygim_tpu.core.graph import CooGraph, CsrGraph
+from pygim_tpu.core.graph import CsrGraph
 from pygim_tpu.core.partition import (
     build_ell_blocks,
     make_row_block_plan,

@@ -23,15 +23,15 @@ import hashlib
 import json
 import os
 from pathlib import Path
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 
-from pygim_tpu.core.graph import CooGraph, CsrGraph
-from pygim_tpu.core.partition import make_row_block_plan, round_up
+from pygim_tpu.core.graph import CsrGraph
+from pygim_tpu.core.partition import make_row_block_plan
 from pygim_tpu.ops.spmm import SpmmConfig
 from pygim_tpu.tune.cost_model import TpuCostModel, predict_spmm_time
-from pygim_tpu.tune.space import For, Space, Table
+from pygim_tpu.tune.space import For, Space
 
 _CACHE_DIR = Path(
     os.environ.get(

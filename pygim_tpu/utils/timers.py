@@ -12,7 +12,7 @@ scalar reduction + host fetch (one extra ~µs-scale op, amortized).
 from __future__ import annotations
 
 import time
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

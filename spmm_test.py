@@ -6,7 +6,6 @@ per-config native library and the "device pool" is the TPU runtime.
 """
 
 import argparse
-import sys
 
 
 def get_args(argv=None):
@@ -38,8 +37,6 @@ def get_args(argv=None):
 def main(argv=None):
     args = get_args(argv)
     print(args)
-
-    import jax
 
     from pygim_tpu.bench.runners import run_spmm_benchmark
     from pygim_tpu.data import load_dataset

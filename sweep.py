@@ -11,7 +11,6 @@ Examples::
 """
 
 import argparse
-import sys
 
 
 def main(argv=None):

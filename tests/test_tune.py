@@ -1,12 +1,10 @@
 """Space DSL, cost model, autotuner (model mode — no device time)."""
 
-import numpy as np
 import pytest
 
 from pygim_tpu.ops.spmm import SpmmConfig
-from pygim_tpu.tune import For, Product, Table, Unit, autotune, plan_statistics
+from pygim_tpu.tune import For, Table, Unit, autotune, plan_statistics
 from pygim_tpu.tune.cost_model import TpuCostModel, predict_spmm_time
-from pygim_tpu.tune.space import Concat
 from tests.conftest import random_coo
 
 

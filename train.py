@@ -38,7 +38,7 @@ def main(argv=None):
 
     from pygim_tpu.data import load_dataset
     from pygim_tpu.nn.models import make_gnn
-    from pygim_tpu.nn.train import accuracy, make_train_step
+    from pygim_tpu.nn.train import make_train_step
     from pygim_tpu.ops.spmm import SpmmConfig, prepare_spmm
     from pygim_tpu.utils.metrics import data_print
 
