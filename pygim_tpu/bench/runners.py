@@ -153,8 +153,29 @@ def run_inference_benchmark(
     rep.report("edges_per_s", graph.nnz * num_layers / dt)
 
     logits = np.asarray(fwd(x))
-    pred = logits.argmax(axis=-1)
-    mask = ds.test_mask
-    acc = float((pred[mask] == ds.y[mask]).mean()) if mask.any() else 0.0
-    rep.report("test_acc", acc)
+    rep.report("test_acc", evaluate_predictions(ds, logits))
     return rep.means()
+
+
+def evaluate_predictions(ds: GraphDataset, logits: np.ndarray) -> float:
+    """Task metric on the test split — accuracy by default; ROC-AUC or
+    micro-F1 per dataset, mirroring the reference's OGB Evaluator /
+    sklearn usage (inference.py:27-41)."""
+    mask = ds.test_mask
+    if not mask.any():
+        return 0.0
+    metric = getattr(ds, "metric", "acc")
+    y, lg = ds.y[mask], logits[mask]
+    if metric == "rocauc":
+        from sklearn.metrics import roc_auc_score
+
+        onehot = np.eye(lg.shape[1])[y]
+        try:
+            return float(roc_auc_score(onehot, lg, average="micro"))
+        except ValueError:
+            return 0.0
+    if metric == "f1":
+        from sklearn.metrics import f1_score
+
+        return float(f1_score(y, lg.argmax(-1), average="micro"))
+    return float((lg.argmax(-1) == y).mean())

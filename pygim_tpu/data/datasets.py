@@ -59,6 +59,8 @@ class GraphDataset:
     test_mask: np.ndarray
     num_classes: int
     synthetic: bool
+    metric: str = "acc"      # acc | rocauc | f1 (reference: OGB Evaluator /
+                             # sklearn F1, inference.py:27-41)
 
     @property
     def num_nodes(self) -> int:
@@ -98,9 +100,10 @@ def _synthesize(name: str, spec, seed=0) -> GraphDataset:
     train[rng.choice(n, max(1, n // 10), replace=False)] = True
     test = ~train
     graph = CooGraph.from_edges(rows, cols, nrows=n, ncols=n, dtype="float32")
+    metric = "rocauc" if name == "ogbn-proteins" else "acc"
     return GraphDataset(
         name=name, graph=graph, x=x, y=y, train_mask=train,
-        test_mask=test, num_classes=ccount, synthetic=True,
+        test_mask=test, num_classes=ccount, synthetic=True, metric=metric,
     )
 
 
