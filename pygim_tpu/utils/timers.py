@@ -76,8 +76,16 @@ def device_time(
     for _ in range(max(1, warmup)):
         out = fn(*args)
     float(red(out))
+    # fence overhead (reduce + host round-trip; significant on remote
+    # backends) — measured on the warm output and subtracted
+    t0 = time.perf_counter()
+    float(red(out))
+    fence = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
     float(red(out))
-    return (time.perf_counter() - t0) / iters
+    total = time.perf_counter() - t0
+    # guard against noisy fence estimates: never report below the
+    # fence-inclusive average spread over iters+1 "iterations"
+    return max(total - fence, total * iters / (iters + 1)) / iters
