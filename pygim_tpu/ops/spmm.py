@@ -171,7 +171,8 @@ class PreparedSpmm:
             }
         else:
             raise ValueError(f"unknown backend {backend!r}")
-        self._run = _make_run(backend, self)
+        self.raw_run = _make_run(backend, self)
+        self._run = jax.jit(self.raw_run)
 
     def mul(self, x):
         """out = A @ x. ``x``: (ncols, H) device array. Matches
@@ -180,12 +181,24 @@ class PreparedSpmm:
             raise ValueError(f"x rows {x.shape[0]} != A cols {self.ncols}")
         return self._run(x, **self._dev)
 
+    @property
+    def dev_arrays(self) -> dict:
+        """The prepared device-resident tables. Thread these through YOUR
+        jit as arguments and use :meth:`raw_mul` inside — closing a jit
+        over ``.mul`` instead would bake them in as giant HLO constants
+        (fatal on remote-compile backends)."""
+        return self._dev
+
+    def raw_mul(self, x, dev: dict):
+        """Unjitted product for composition inside caller jits:
+        ``jax.jit(lambda x, dev: model_apply(x, lambda v: prep.raw_mul(v, dev)))``."""
+        return self.raw_run(x, **dev)
+
 
 def _make_run(backend: str, prep: PreparedSpmm):
     nrows = prep.nrows
 
     if backend == "oracle":
-        @jax.jit
         def run(x, rows, cols, vals):
             return spmm_coo_oracle(rows, cols, vals, x, nrows)
         return run
@@ -193,7 +206,6 @@ def _make_run(backend: str, prep: PreparedSpmm):
     if backend == "blocked":
         rows_pad = prep.rows_pad
 
-        @jax.jit
         def run(x, colind, vals, rowloc, row_slot):
             return blocked_spmm(colind, vals, rowloc, row_slot, x, rows_pad)
         return run
@@ -202,7 +214,6 @@ def _make_run(backend: str, prep: PreparedSpmm):
         chunk = prep.row_chunk
         degree = prep.ell_degree
 
-        @jax.jit
         def run(x, cols2d, vals2d, vrow_to_row):
             acc = accum_dtype(jnp.result_type(vals2d.dtype, x.dtype))
             h = x.shape[1]
@@ -232,7 +243,6 @@ def _make_run(backend: str, prep: PreparedSpmm):
         return run
 
     if backend == "coo":
-        @jax.jit
         def run(x, rows, cols, vals):
             acc = accum_dtype(jnp.result_type(vals.dtype, x.dtype))
 
