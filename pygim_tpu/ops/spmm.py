@@ -58,6 +58,11 @@ class SpmmConfig:
     block_nnz_budget: int = 1 << 17  # ~128k nnz/block
     ell_degree: Optional[int] = None # ell backend: fixed degree (auto=None)
     interpret: bool = False          # pallas interpreter mode (tests)
+    # hybrid backend: dense hub-core on the MXU + ELL tail via gather.
+    hybrid_k: Optional[int] = None         # core size (auto from budget)
+    hybrid_core_bytes: int = 4 << 30       # core memory budget
+    hybrid_dtype: Optional[str] = None     # core dtype (None = vals dtype;
+                                           # 'bfloat16' halves core traffic)
 
     def resolve_n_blocks(self, nnz: int) -> int:
         if self.n_blocks is not None:
@@ -86,6 +91,34 @@ def blocked_spmm(colind, vals, rowloc, row_slot, x, rows_pad: int):
     _, out_blocks = jax.lax.scan(body, None, (colind, vals, rowloc))
     flat = out_blocks.reshape(-1, x.shape[1])
     return jnp.take(flat, row_slot, axis=0)
+
+
+def ell_scan_spmm(x, cols2d, vals2d, vrow_to_row, chunk, degree, nrows):
+    """The ell backend's compute body (shared with the hybrid tail):
+    fixed-degree gather + fused weighted reduce under ``lax.scan``, then
+    one sorted segment-sum merging split hub rows."""
+    acc = accum_dtype(jnp.result_type(vals2d.dtype, x.dtype))
+    h = x.shape[1]
+    n_steps = cols2d.shape[0] // chunk
+
+    def body(_, blk):
+        c, v = blk
+        g = jnp.take(x, c.reshape(-1), axis=0).reshape(chunk, degree, h)
+        return None, jnp.sum(
+            g.astype(acc) * v[..., None].astype(acc), axis=1
+        )
+
+    _, partial = jax.lax.scan(
+        body, None,
+        (
+            cols2d.reshape(n_steps, chunk, degree),
+            vals2d.reshape(n_steps, chunk, degree),
+        ),
+    )
+    return jax.ops.segment_sum(
+        partial.reshape(-1, h), vrow_to_row,
+        num_segments=nrows, indices_are_sorted=True,
+    )
 
 
 class PreparedSpmm:
@@ -160,6 +193,24 @@ class PreparedSpmm:
                 "vals2d": jnp.asarray(ell.vals),
                 "vrow_to_row": jnp.asarray(ell.vrow_to_row),
             }
+        elif backend == "hybrid":
+            # Dense hub-core on the MXU + ELL tail via the gather engine —
+            # the TPU-first answer to power-law graphs: the reference's
+            # "hub row" problem (nnz balancing + lock schemes) becomes an
+            # opportunity: after degree-ranking, the top-K×top-K block of
+            # a scale-free graph is dense enough that one dense matmul
+            # (~free on the MXU, streamed at full HBM bandwidth) replaces
+            # the majority of per-edge gathers, which are issue-rate-bound
+            # at ~7 ns each (CLAUDE.md measurements).
+            coo = coo if coo is not None else csr.to_coo()
+            if coo.nrows != coo.ncols:
+                raise ValueError("hybrid backend requires square adjacency")
+            if not np.issubdtype(coo.vals.dtype, np.floating):
+                raise ValueError(
+                    "hybrid backend supports float values; use 'ell' for "
+                    "integer aggregation"
+                )
+            self._prepare_hybrid(coo, config)
         elif backend == "coo":
             coo = coo if coo is not None else csr.to_coo()
             nb = config.resolve_n_blocks(coo.nnz)
@@ -173,6 +224,60 @@ class PreparedSpmm:
             raise ValueError(f"unknown backend {backend!r}")
         self.raw_run = _make_run(backend, self)
         self._run = jax.jit(self.raw_run)
+
+    def _prepare_hybrid(self, coo, config: SpmmConfig):
+        from pygim_tpu.core.partition import choose_ell_degree
+
+        n = coo.nrows
+        deg = np.bincount(coo.rows, minlength=n).astype(np.int64)
+        deg += np.bincount(coo.cols, minlength=n)
+        order = np.argsort(-deg).astype(np.int32)
+        rank = np.empty(n, dtype=np.int32)
+        rank[order] = np.arange(n, dtype=np.int32)
+
+        core_dtype = config.hybrid_dtype or str(coo.vals.dtype)
+        itemsize = 2 if core_dtype == "bfloat16" else np.dtype(core_dtype).itemsize
+        if config.hybrid_k is not None:
+            k = max(1, min(config.hybrid_k, n))
+        else:
+            k = int(np.sqrt(config.hybrid_core_bytes / itemsize))
+            k = (k // 256) * 256
+            k = min(max(k, min(256, n)), n)
+        self.hybrid_k_eff = k
+
+        rr = rank[coo.rows]
+        cc = rank[coo.cols]
+        in_core = (rr < k) & (cc < k)
+        flat = rr[in_core].astype(np.int64) * k + cc[in_core]
+        dense = np.bincount(
+            flat, weights=coo.vals[in_core].astype(np.float64),
+            minlength=k * k,
+        ).reshape(k, k).astype(np.float32)
+        if core_dtype == "bfloat16":
+            import ml_dtypes
+
+            dense = dense.astype(ml_dtypes.bfloat16)
+
+        tail = CooGraph(
+            rows=rr[~in_core], cols=cc[~in_core], vals=coo.vals[~in_core],
+            nrows=n, ncols=n,
+        )
+        tail_csr = tail.to_csr()
+        degree = config.ell_degree or choose_ell_degree(tail_csr.row_lengths)
+        chunk = max(8, round_up(
+            max(1, config.block_nnz_budget // degree), 8
+        ))
+        ell = build_ell_rows(tail_csr, degree, row_chunk=chunk)
+        self.ell_degree = ell.degree
+        self.row_chunk = chunk
+        self._dev = {
+            "core": jnp.asarray(dense),
+            "perm": jnp.asarray(order),
+            "unperm": jnp.asarray(rank),
+            "cols2d": jnp.asarray(ell.cols),
+            "vals2d": jnp.asarray(ell.vals),
+            "vrow_to_row": jnp.asarray(ell.vrow_to_row),
+        }
 
     def mul(self, x):
         """out = A @ x. ``x``: (ncols, H) device array. Matches
@@ -215,31 +320,28 @@ def _make_run(backend: str, prep: PreparedSpmm):
         degree = prep.ell_degree
 
         def run(x, cols2d, vals2d, vrow_to_row):
-            acc = accum_dtype(jnp.result_type(vals2d.dtype, x.dtype))
-            h = x.shape[1]
-            n_steps = cols2d.shape[0] // chunk
-
-            def body(_, blk):
-                c, v = blk
-                g = jnp.take(x, c.reshape(-1), axis=0).reshape(
-                    chunk, degree, h
-                )
-                return None, jnp.sum(
-                    g.astype(acc) * v[..., None].astype(acc), axis=1
-                )
-
-            _, partial = jax.lax.scan(
-                body, None,
-                (
-                    cols2d.reshape(n_steps, chunk, degree),
-                    vals2d.reshape(n_steps, chunk, degree),
-                ),
+            return ell_scan_spmm(
+                x, cols2d, vals2d, vrow_to_row, chunk, degree, nrows
             )
-            # merge virtual rows (hub splits) — one sorted segment-sum
-            return jax.ops.segment_sum(
-                partial.reshape(-1, h), vrow_to_row,
-                num_segments=nrows, indices_are_sorted=True,
+        return run
+
+    if backend == "hybrid":
+        chunk = prep.row_chunk
+        degree = prep.ell_degree
+        k = prep.hybrid_k_eff
+
+        def run(x, core, perm, unperm, cols2d, vals2d, vrow_to_row):
+            acc = accum_dtype(jnp.result_type(core.dtype, x.dtype))
+            xp = jnp.take(x, perm, axis=0)
+            tail_out = ell_scan_spmm(
+                xp, cols2d, vals2d, vrow_to_row, chunk, degree, nrows
             )
+            core_out = jnp.dot(
+                core, xp[:k].astype(core.dtype),
+                preferred_element_type=acc,
+            )
+            out = tail_out.at[:k].add(core_out.astype(tail_out.dtype))
+            return jnp.take(out, unperm, axis=0)
         return run
 
     if backend == "coo":

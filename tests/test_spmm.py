@@ -155,3 +155,56 @@ def test_pallas_backend_rejects_large_x(rng):
     big_x = np.zeros((300, 32 * 1024), dtype=np.float32)  # > VMEM budget
     with _pytest.raises(ValueError):
         prep.mul(big_x)
+
+
+def test_hybrid_backend_matches_dense(rng):
+    coo = random_coo(rng, nrows=200, ncols=200, nnz=3000)
+    x = rng.standard_normal((200, 24)).astype(np.float32)
+    prep = prepare_spmm(coo, SpmmConfig(backend="hybrid", hybrid_k=64))
+    assert prep.hybrid_k_eff == 64
+    np.testing.assert_allclose(
+        np.asarray(prep.mul(x)), _dense_ref(coo, x), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_hybrid_core_covers_hubs(rng):
+    """Hub-heavy graph: most edges should land in the dense core."""
+    import numpy as np
+
+    from pygim_tpu.core.graph import CooGraph
+
+    n, hubs = 256, 16
+    hub_r = rng.integers(0, hubs, 2000)
+    hub_c = rng.integers(0, hubs, 2000)
+    tail_r = rng.integers(0, n, 200)
+    tail_c = rng.integers(0, n, 200)
+    coo = CooGraph.from_edges(
+        np.concatenate([hub_r, tail_r]), np.concatenate([hub_c, tail_c]),
+        rng.standard_normal(2200), nrows=n, ncols=n,
+    )
+    x = rng.standard_normal((n, 16)).astype(np.float32)
+    prep = prepare_spmm(coo, SpmmConfig(backend="hybrid", hybrid_k=32))
+    np.testing.assert_allclose(
+        np.asarray(prep.mul(x)), _dense_ref(coo, x), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_hybrid_auto_k_and_bf16(rng):
+    coo = random_coo(rng, nrows=300, ncols=300, nnz=4000)
+    x = rng.standard_normal((300, 16)).astype(np.float32)
+    prep = prepare_spmm(
+        coo,
+        SpmmConfig(backend="hybrid", hybrid_core_bytes=64 * 1024,
+                   hybrid_dtype="bfloat16"),
+    )
+    assert prep.hybrid_k_eff <= 300
+    out = np.asarray(prep.mul(x))
+    ref = _dense_ref(coo, x)
+    # bf16 core: looser tolerance
+    np.testing.assert_allclose(out, ref, rtol=3e-2, atol=1e-1)
+
+
+def test_hybrid_rejects_int(rng):
+    coo = random_coo(rng, nrows=50, ncols=50, nnz=100, dtype="int32")
+    with pytest.raises(ValueError):
+        prepare_spmm(coo, SpmmConfig(backend="hybrid"))
