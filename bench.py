@@ -51,8 +51,14 @@ def main():
         f"({'synthetic' if ds.synthetic else 'real'})  [{time.time()-t_start:.0f}s]"
     )
 
-    cfg = SpmmConfig(backend=os.environ.get("PYGIM_BENCH_BACKEND", "ell"),
-                     format="csr")
+    cfg = SpmmConfig(
+        backend=os.environ.get("PYGIM_BENCH_BACKEND", "hybrid"),
+        format="csr",
+        hybrid_core_bytes=int(
+            os.environ.get("PYGIM_BENCH_CORE_BYTES", 4 << 30)
+        ),
+        hybrid_dtype=os.environ.get("PYGIM_BENCH_CORE_DTYPE") or None,
+    )
     t0 = time.time()
     prep = prepare_spmm(graph, cfg)
     log(f"prepare: {time.time()-t0:.1f}s")
