@@ -45,7 +45,7 @@ _CACHE_DIR = Path(
 DEFAULT_SPACE = (
     For("balance", ["nnz", "row"])
     * For("block_nnz_budget", [1 << 15, 1 << 17, 1 << 19])
-    * For("backend", ["blocked", "ell"])
+    * For("backend", ["blocked", "ell", "hybrid"])
 )
 
 
@@ -68,10 +68,32 @@ def plan_statistics(
     nnz_per_block = (
         csr.rowptr[plan.bounds[1:]] - csr.rowptr[plan.bounds[:-1]]
     )
-    if config.backend == "ell":
+    core_bytes = 0
+    if config.backend in ("ell", "hybrid"):
         from pygim_tpu.core.partition import choose_ell_degree
 
         deg = np.diff(csr.rowptr).astype(np.int64)
+        tail_nnz = csr.nnz
+        if config.backend == "hybrid":
+            # hub-core coverage estimate: degree-ranked top-k × top-k
+            itemsize = 2 if config.hybrid_dtype == "bfloat16" else dtype_bytes
+            k = config.hybrid_k or min(
+                csr.nrows,
+                (int(np.sqrt(config.hybrid_core_bytes / itemsize)) // 256)
+                * 256,
+            )
+            total_deg = deg + np.bincount(
+                csr.colind, minlength=csr.ncols
+            )[: csr.nrows]
+            rank = np.empty(csr.nrows, dtype=np.int64)
+            rank[np.argsort(-total_deg)] = np.arange(csr.nrows)
+            rows_of = np.repeat(np.arange(csr.nrows, dtype=np.int64), deg)
+            in_core = (rank[rows_of] < k) & (rank[csr.colind] < k)
+            tail_nnz = int((~in_core).sum())
+            core_bytes = k * k * itemsize
+            deg = np.bincount(
+                rows_of[~in_core], minlength=csr.nrows
+            ).astype(np.int64)
         D = config.ell_degree or choose_ell_degree(deg)
         n_vr = -(-deg[deg > 0] // D)
         padded_nnz = int(n_vr.sum() * D)
@@ -84,6 +106,7 @@ def plan_statistics(
         scatter_bytes = 2 * padded_nnz * h_local * dtype_bytes
     return {
         "scatter_bytes": scatter_bytes,
+        "core_bytes": core_bytes,
         # dominant term: one dense row read per (local) nnz
         "gather_bytes": padded_nnz / max(1, sp) * h_local * dtype_bytes * sp
         if sp == 1

@@ -70,6 +70,8 @@ def predict_spmm_time(stats: dict, model: Optional[TpuCostModel] = None) -> floa
     t = stats["gather_bytes"] / (m.hbm_bw * m.gather_eff)
     t += stats["stream_bytes"] / (m.hbm_bw * m.stream_eff)
     t += stats.get("scatter_bytes", 0) / (m.hbm_bw * m.stream_eff)
+    # hybrid dense core: streamed at full rate through the MXU
+    t += stats.get("core_bytes", 0) / (m.hbm_bw * m.stream_eff)
     t += stats["psum_bytes"] / m.ici_bw
     t += stats["n_dispatch"] * m.fixed_us * 1e-6
     return t

@@ -89,3 +89,26 @@ def test_autotune_cache_roundtrip(rng, tmp_path, monkeypatch):
     r1 = at.autotune(coo, hidden=32)
     r2 = at.autotune(coo, hidden=32)
     assert r1.config == r2.config
+
+
+def test_hybrid_in_autotune_space(rng, tmp_path, monkeypatch):
+    monkeypatch.setenv("PYGIM_TPU_TUNE_CACHE", str(tmp_path))
+    from pygim_tpu.ops.spmm import SpmmConfig
+    from pygim_tpu.tune import plan_statistics
+
+    # hub-heavy graph: hybrid's core should absorb most edges
+    import numpy as np
+
+    from pygim_tpu.core.graph import CooGraph
+
+    n = 2048
+    r = np.concatenate([rng.integers(0, 64, 40000), rng.integers(0, n, 4000)])
+    c = np.concatenate([rng.integers(0, 64, 40000), rng.integers(0, n, 4000)])
+    csr = CooGraph.from_edges(r, c, nrows=n, ncols=n).to_csr()
+    stats_h = plan_statistics(
+        csr, 64, SpmmConfig(backend="hybrid", hybrid_k=256)
+    )
+    stats_e = plan_statistics(csr, 64, SpmmConfig(backend="ell"))
+    assert stats_h["core_bytes"] == 256 * 256 * 4
+    # hybrid tail gathers far fewer padded edges than full ell
+    assert stats_h["gather_bytes"] < 0.5 * stats_e["gather_bytes"]
