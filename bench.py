@@ -55,9 +55,10 @@ def main():
         backend=os.environ.get("PYGIM_BENCH_BACKEND", "hybrid"),
         format="csr",
         hybrid_core_bytes=int(
-            os.environ.get("PYGIM_BENCH_CORE_BYTES", 4 << 30)
+            os.environ.get("PYGIM_BENCH_CORE_BYTES", 8 << 30)
         ),
-        hybrid_dtype=os.environ.get("PYGIM_BENCH_CORE_DTYPE") or None,
+        hybrid_dtype=os.environ.get("PYGIM_BENCH_CORE_DTYPE", "bfloat16")
+        or None,
     )
     t0 = time.time()
     prep = prepare_spmm(graph, cfg)

@@ -258,9 +258,12 @@ class PreparedSpmm:
 
             dense = dense.astype(ml_dtypes.bfloat16)
 
+        # tail stays in ORIGINAL node ids — no full-graph permutation at
+        # run time; only the core touches the ranking (a k-row gather of x
+        # and a k-row scatter-add of the core product).
         tail = CooGraph(
-            rows=rr[~in_core], cols=cc[~in_core], vals=coo.vals[~in_core],
-            nrows=n, ncols=n,
+            rows=coo.rows[~in_core], cols=coo.cols[~in_core],
+            vals=coo.vals[~in_core], nrows=n, ncols=n,
         )
         tail_csr = tail.to_csr()
         degree = config.ell_degree or choose_ell_degree(tail_csr.row_lengths)
@@ -272,8 +275,7 @@ class PreparedSpmm:
         self.row_chunk = chunk
         self._dev = {
             "core": jnp.asarray(dense),
-            "perm": jnp.asarray(order),
-            "unperm": jnp.asarray(rank),
+            "core_nodes": jnp.asarray(order[:k]),  # rank i ↔ node order[i]
             "cols2d": jnp.asarray(ell.cols),
             "vals2d": jnp.asarray(ell.vals),
             "vrow_to_row": jnp.asarray(ell.vrow_to_row),
@@ -330,18 +332,16 @@ def _make_run(backend: str, prep: PreparedSpmm):
         degree = prep.ell_degree
         k = prep.hybrid_k_eff
 
-        def run(x, core, perm, unperm, cols2d, vals2d, vrow_to_row):
-            acc = accum_dtype(jnp.result_type(core.dtype, x.dtype))
-            xp = jnp.take(x, perm, axis=0)
+        def run(x, core, core_nodes, cols2d, vals2d, vrow_to_row):
+            acc = accum_dtype(jnp.result_type(jnp.float32, x.dtype))
             tail_out = ell_scan_spmm(
-                xp, cols2d, vals2d, vrow_to_row, chunk, degree, nrows
+                x, cols2d, vals2d, vrow_to_row, chunk, degree, nrows
             )
-            core_out = jnp.dot(
-                core, xp[:k].astype(core.dtype),
-                preferred_element_type=acc,
+            x_core = jnp.take(x, core_nodes, axis=0).astype(core.dtype)
+            core_out = jnp.dot(core, x_core, preferred_element_type=acc)
+            return tail_out.at[core_nodes].add(
+                core_out.astype(tail_out.dtype)
             )
-            out = tail_out.at[:k].add(core_out.astype(tail_out.dtype))
-            return jnp.take(out, unperm, axis=0)
         return run
 
     if backend == "coo":
