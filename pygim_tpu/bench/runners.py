@@ -72,7 +72,12 @@ def run_spmm_benchmark(
     rep.report("edges_per_s", graph.nnz / dt)
 
     if verify:
-        ok = _verify_against_oracle(graph, prep, x, rng)
+        cfg = getattr(prep, "config", None)
+        loose = cfg is not None and cfg.backend == "hybrid" \
+            and cfg.hybrid_dtype == "bfloat16"
+        ok = _verify_against_oracle(
+            graph, prep, x, rng, rtol=1e-2 if loose else 1e-4
+        )
         rep.report("verify", "OK" if ok else "ERROR")
         if not ok:
             raise AssertionError("SpMM backend mismatch vs oracle")
@@ -93,7 +98,9 @@ def _cast_graph(graph, dtype: str):
     return _dc.replace(graph, vals=graph.vals.astype(want))
 
 
-def _verify_against_oracle(graph, prep, x, rng, rows_to_check: int = 256):
+def _verify_against_oracle(
+    graph, prep, x, rng, rows_to_check: int = 256, rtol: float = 1e-4
+):
     """Spot-check against a NumPy CSR reference on sampled rows (cheap even
     for 100M-edge graphs) — the spmm_host_csr comparison of
     spmm_mul_csr.c:414-477, minus the comment markers."""
@@ -108,8 +115,8 @@ def _verify_against_oracle(graph, prep, x, rng, rows_to_check: int = 256):
             * csr.vals[e0:e1, None].astype(np.float64)
         ).sum(axis=0)
         got = out[r].astype(np.float64)
-        tol = 1e-3 * max(1.0, np.abs(ref).max())
-        if not np.allclose(got, ref, atol=tol, rtol=1e-4):
+        tol = 10 * rtol * max(1.0, np.abs(ref).max())
+        if not np.allclose(got, ref, atol=tol, rtol=rtol):
             return False
     return True
 
