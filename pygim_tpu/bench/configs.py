@@ -17,10 +17,10 @@ DATASETS = {
 BASELINE_EXPERIMENTS = [
     # (1) single SpMM Reddit CSR FLT32 h=256
     Experiment(dataset="reddit", kind="spmm", sp_format="csr",
-               dtype="float32", hidden=256, backend="ell"),
+               dtype="float32", hidden=256, backend="hybrid"),
     # (2) 2-layer GCN Reddit FLT32
     Experiment(dataset="reddit", kind="inference", model="gcn",
-               num_layers=2, dtype="float32", hidden=256, backend="ell"),
+               num_layers=2, dtype="float32", hidden=256, backend="hybrid"),
     # (3) GIN + SAGE on ogbn-arxiv, COO vs CSR, autotuned
     Experiment(dataset="ogbn-arxiv", kind="inference", model="gin",
                sp_format="coo", tune=True),
