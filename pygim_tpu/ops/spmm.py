@@ -248,11 +248,25 @@ class PreparedSpmm:
         rr = rank[coo.rows]
         cc = rank[coo.cols]
         in_core = (rr < k) & (cc < k)
-        flat = rr[in_core].astype(np.int64) * k + cc[in_core]
-        dense = np.bincount(
-            flat, weights=coo.vals[in_core].astype(np.float64),
-            minlength=k * k,
-        ).reshape(k, k).astype(np.float32)
+        try:
+            import scipy.sparse as sps
+
+            dense = np.asarray(
+                sps.coo_matrix(
+                    (
+                        coo.vals[in_core].astype(np.float32),
+                        (rr[in_core], cc[in_core]),
+                    ),
+                    shape=(k, k),
+                ).todense(),
+                dtype=np.float32,
+            )
+        except ImportError:
+            flat = rr[in_core].astype(np.int64) * k + cc[in_core]
+            dense = np.bincount(
+                flat, weights=coo.vals[in_core].astype(np.float64),
+                minlength=k * k,
+            ).reshape(k, k).astype(np.float32)
         if core_dtype == "bfloat16":
             import ml_dtypes
 
