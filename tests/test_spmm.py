@@ -208,3 +208,16 @@ def test_hybrid_rejects_int(rng):
     coo = random_coo(rng, nrows=50, ncols=50, nnz=100, dtype="int32")
     with pytest.raises(ValueError):
         prepare_spmm(coo, SpmmConfig(backend="hybrid"))
+
+
+def test_hybrid_prepare_cache(rng, tmp_path, monkeypatch):
+    monkeypatch.setenv("PYGIM_TPU_DATA", str(tmp_path))
+    coo = random_coo(rng, nrows=150, ncols=150, nnz=2000)
+    x = rng.standard_normal((150, 16)).astype(np.float32)
+    p1 = prepare_spmm(coo, SpmmConfig(backend="hybrid", hybrid_k=48))
+    out1 = np.asarray(p1.mul(x))
+    assert list(tmp_path.glob("hybrid-*.npz"))
+    p2 = prepare_spmm(coo, SpmmConfig(backend="hybrid", hybrid_k=48))
+    out2 = np.asarray(p2.mul(x))
+    np.testing.assert_allclose(out1, out2, rtol=1e-6)
+    np.testing.assert_allclose(out2, _dense_ref(coo, x), rtol=1e-4, atol=1e-4)
