@@ -94,3 +94,39 @@ def test_dropout_training_mode(rng):
     )  # inverted scaling
     # eval mode: identity
     np.testing.assert_array_equal(np.asarray(L.dropout(None, x, 0.5, False)), 1.0)
+
+
+def test_model_with_hybrid_aggregate(rng):
+    from pygim_tpu.ops.spmm import SpmmConfig, prepare_spmm
+
+    n, f_in, h, f_out = 120, 12, 16, 4
+    coo = random_coo(rng, nrows=n, ncols=n, nnz=1500)
+    hyb = prepare_spmm(coo, SpmmConfig(backend="hybrid", hybrid_k=32))
+    oracle = prepare_spmm(coo, SpmmConfig(backend="oracle"))
+    model = make_gnn(jax.random.key(2), "gcn", f_in, h, f_out)
+    x = jnp.asarray(rng.standard_normal((n, f_in)), dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(model.apply(x, hyb.mul)),
+        np.asarray(model.apply(x, oracle.mul)),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_jit_with_dev_arrays_threading(rng):
+    """The remote-backend-safe pattern: tables as jit arguments."""
+    from pygim_tpu.ops.spmm import SpmmConfig, prepare_spmm
+
+    n = 80
+    coo = random_coo(rng, nrows=n, ncols=n, nnz=500)
+    prep = prepare_spmm(coo, SpmmConfig(backend="ell"))
+    model = make_gnn(jax.random.key(0), "gcn", 8, 16, 3)
+    dev = prep.dev_arrays
+    fwd = jax.jit(
+        lambda x, dev: model.apply(x, lambda v: prep.raw_mul(v, dev))
+    )
+    x = jnp.asarray(rng.standard_normal((n, 8)), dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(fwd(x, dev)),
+        np.asarray(model.apply(x, prep.mul)),
+        rtol=1e-5, atol=1e-5,
+    )
