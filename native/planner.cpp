@@ -157,4 +157,29 @@ int csr_col_slice_fill_f32(const int32_t* rowptr, const int32_t* colind,
   return 0;
 }
 
+// Dense hub-core fill for the hybrid SpMM backend: out (k×k, zeroed by
+// caller) accumulates vals of edges whose BOTH endpoints rank below k.
+// Single pass over the edge list — replaces a scipy coo->dense round trip
+// that costs minutes at 100M edges.
+int core_fill_f32(const int32_t* rows, const int32_t* cols,
+                  const float* vals, int64_t nnz, const int32_t* rank,
+                  int32_t k, float* out) {
+  for (int64_t i = 0; i < nnz; ++i) {
+    int32_t r = rank[rows[i]];
+    int32_t c = rank[cols[i]];
+    if (r < k && c < k) out[static_cast<int64_t>(r) * k + c] += vals[i];
+  }
+  return 0;
+}
+
+// Tail extraction companion: writes a 0/1 mask of edges OUTSIDE the core.
+int core_tail_mask(const int32_t* rows, const int32_t* cols, int64_t nnz,
+                   const int32_t* rank, int32_t k, uint8_t* tail_mask) {
+  for (int64_t i = 0; i < nnz; ++i) {
+    tail_mask[i] =
+        (rank[rows[i]] >= k || rank[cols[i]] >= k) ? 1 : 0;
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -79,6 +79,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int64),
     ]
     lib.block_nnz_counters.restype = ctypes.c_int
+    _u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.core_fill_f32.argtypes = [
+        _i32p, _i32p, _f32p, ctypes.c_int64, _i32p, ctypes.c_int32, _f32p
+    ]
+    lib.core_fill_f32.restype = ctypes.c_int
+    lib.core_tail_mask.argtypes = [
+        _i32p, _i32p, ctypes.c_int64, _i32p, ctypes.c_int32, _u8p
+    ]
+    lib.core_tail_mask.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -106,6 +115,35 @@ def coo_to_csr_native(rows, cols, vals, nrows: int):
     out_vals = np.empty(nnz, dtype=np.float32)
     lib.coo_to_csr_f32(rows, cols, vals, nnz, nrows, rowptr, colind, out_vals)
     return rowptr, colind, out_vals
+
+
+def core_fill_native(rows, cols, vals, rank, k: int):
+    """(dense core f32 (k,k), tail_mask bool) via the native single-pass
+    fill; None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, np.int32)
+    cols = np.ascontiguousarray(cols, np.int32)
+    vals = np.ascontiguousarray(vals, np.float32)
+    rank = np.ascontiguousarray(rank, np.int32)
+    nnz = rows.shape[0]
+    out = np.zeros((k, k), dtype=np.float32)
+    lib.core_fill_f32(rows, cols, vals, nnz, rank, k, out)
+    mask = np.empty(nnz, dtype=np.uint8)
+    lib.core_tail_mask(rows, cols, nnz, rank, k, mask)
+    return out, mask.astype(bool)
+
+
+def f32_to_bf16_bits(a: np.ndarray) -> np.ndarray:
+    """Vectorized float32 → bfloat16 (round-to-nearest-even), returned as
+    an ml_dtypes.bfloat16 array — avoids ml_dtypes' slow elementwise
+    astype on multi-GB arrays."""
+    import ml_dtypes
+
+    u = np.ascontiguousarray(a, np.float32).view(np.uint32)
+    rounded = ((u + 0x7FFF + ((u >> 16) & 1)) >> 16).astype(np.uint16)
+    return rounded.view(ml_dtypes.bfloat16)
 
 
 def build_ell_native(rowptr, colind, vals, bounds, rows_pad, nnz_pad):

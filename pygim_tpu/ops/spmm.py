@@ -309,32 +309,25 @@ class PreparedSpmm:
             k = min(max(k, min(256, n)), n)
         self.hybrid_k_eff = k
 
-        rr = rank[coo.rows]
-        cc = rank[coo.cols]
-        in_core = (rr < k) & (cc < k)
-        try:
-            import scipy.sparse as sps
+        from pygim_tpu.core import native
 
-            dense = np.asarray(
-                sps.coo_matrix(
-                    (
-                        coo.vals[in_core].astype(np.float32),
-                        (rr[in_core], cc[in_core]),
-                    ),
-                    shape=(k, k),
-                ).todense(),
-                dtype=np.float32,
-            )
-        except ImportError:
+        filled = native.core_fill_native(
+            coo.rows, coo.cols, coo.vals.astype(np.float32), rank, k
+        )
+        if filled is not None:
+            dense, tail_mask = filled
+            in_core = ~tail_mask
+        else:
+            rr = rank[coo.rows]
+            cc = rank[coo.cols]
+            in_core = (rr < k) & (cc < k)
             flat = rr[in_core].astype(np.int64) * k + cc[in_core]
             dense = np.bincount(
                 flat, weights=coo.vals[in_core].astype(np.float64),
                 minlength=k * k,
             ).reshape(k, k).astype(np.float32)
         if core_dtype == "bfloat16":
-            import ml_dtypes
-
-            dense = dense.astype(ml_dtypes.bfloat16)
+            dense = native.f32_to_bf16_bits(dense).reshape(k, k)
 
         # tail stays in ORIGINAL node ids — no full-graph permutation at
         # run time; only the core touches the ranking (a k-row gather of x
