@@ -136,14 +136,10 @@ def core_fill_native(rows, cols, vals, rank, k: int):
 
 
 def f32_to_bf16_bits(a: np.ndarray) -> np.ndarray:
-    """Vectorized float32 → bfloat16 (round-to-nearest-even), returned as
-    an ml_dtypes.bfloat16 array — avoids ml_dtypes' slow elementwise
-    astype on multi-GB arrays."""
+    """float32 → bfloat16 array (ml_dtypes' astype is SIMD-vectorized)."""
     import ml_dtypes
 
-    u = np.ascontiguousarray(a, np.float32).view(np.uint32)
-    rounded = ((u + 0x7FFF + ((u >> 16) & 1)) >> 16).astype(np.uint16)
-    return rounded.view(ml_dtypes.bfloat16)
+    return a.astype(ml_dtypes.bfloat16)
 
 
 def build_ell_native(rowptr, colind, vals, bounds, rows_pad, nnz_pad):
