@@ -81,32 +81,22 @@ def measure_constants(save: bool = True) -> TpuCostModel:
     """On-device microbenchmark of streaming/gather bandwidth — the honest
     version of the reference's hard-coded bandwidth tables
     (autotuner.py:23-89). Requires a few seconds of device time."""
-    import time
-
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    n, h = 1 << 20, 256
+    from pygim_tpu.utils.timers import device_time
+
+    n, h = 1 << 22, 256  # 4 GB streamed per copy — amortizes overheads
     x = jnp.ones((n, h), dtype=jnp.float32)
     idx = jnp.asarray(
-        np.random.default_rng(0).integers(0, n, 4_000_000), dtype=jnp.int32
+        np.random.default_rng(0).integers(0, n, 8_000_000), dtype=jnp.int32
     )
     copy = jax.jit(lambda a: a * 1.0000001)
     gather = jax.jit(lambda a, i: jnp.take(a, i, axis=0))
-    red = jax.jit(lambda a: jnp.sum(a))
 
-    def bench(fn, *args, nbytes):
-        float(red(fn(*args)))  # warm + compile
-        t0 = time.time()
-        iters = 5
-        for _ in range(iters):
-            out = fn(*args)
-        float(red(out))
-        return nbytes / ((time.time() - t0) / iters)
-
-    stream_bw = bench(copy, x, nbytes=2 * n * h * 4)
-    gather_bw = bench(gather, x, idx, nbytes=2 * 4_000_000 * h * 4)
+    stream_bw = 2 * n * h * 4 / device_time(copy, x, iters=5)
+    gather_bw = 2 * 8_000_000 * h * 4 / device_time(gather, x, idx, iters=5)
     hbm = _DEFAULTS["hbm_bw"]
     model = TpuCostModel(
         hbm_bw=hbm,
