@@ -248,46 +248,37 @@ class PreparedSpmm:
             f"{config.block_nnz_budget}".encode()
         )
         cache_path = cache_dir / f"hybrid-{h.hexdigest()[:16]}.npz"
+        host = None
         if cache_path.exists():
             try:
                 z = np.load(cache_path)
-                self.hybrid_k_eff = int(z["k"])
-                self.ell_degree = int(z["degree"])
-                self.row_chunk = int(z["chunk"])
-                core = z["core"]
-                if str(z["core_dtype"]) == "bfloat16":
-                    import ml_dtypes
-
-                    core = core.view(ml_dtypes.bfloat16)
-                self._dev = {
-                    "core": jnp.asarray(core),
-                    "core_nodes": jnp.asarray(z["core_nodes"]),
-                    "cols2d": jnp.asarray(z["cols2d"]),
-                    "vals2d": jnp.asarray(z["vals2d"]),
-                    "vrow_to_row": jnp.asarray(z["vrow_to_row"]),
-                }
-                return
+                host = {k2: z[k2] for k2 in z.files}
+            except Exception:
+                host = None
+        if host is None:
+            host = self._prepare_hybrid_build(coo, config)
+            try:
+                cache_dir.mkdir(parents=True, exist_ok=True)
+                tmp = cache_path.with_suffix(".tmp.npz")
+                np.savez(tmp, **host)
+                os.replace(tmp, cache_path)
             except Exception:
                 pass
-        self._prepare_hybrid_build(coo, config)
-        try:
-            cache_dir.mkdir(parents=True, exist_ok=True)
-            core = np.asarray(self._dev["core"])
-            core_dtype = str(core.dtype)
-            if core_dtype == "bfloat16":
-                core = core.view(np.uint16)
-            tmp = cache_path.with_suffix(".tmp.npz")
-            np.savez(
-                tmp, k=self.hybrid_k_eff, degree=self.ell_degree,
-                chunk=self.row_chunk, core=core, core_dtype=core_dtype,
-                core_nodes=np.asarray(self._dev["core_nodes"]),
-                cols2d=np.asarray(self._dev["cols2d"]),
-                vals2d=np.asarray(self._dev["vals2d"]),
-                vrow_to_row=np.asarray(self._dev["vrow_to_row"]),
-            )
-            os.replace(tmp, cache_path)
-        except Exception:
-            pass
+        self.hybrid_k_eff = int(host["k"])
+        self.ell_degree = int(host["degree"])
+        self.row_chunk = int(host["chunk"])
+        core = host["core"]
+        if str(host["core_dtype"]) == "bfloat16":
+            import ml_dtypes
+
+            core = core.view(ml_dtypes.bfloat16)
+        self._dev = {
+            "core": jnp.asarray(core),
+            "core_nodes": jnp.asarray(host["core_nodes"]),
+            "cols2d": jnp.asarray(host["cols2d"]),
+            "vals2d": jnp.asarray(host["vals2d"]),
+            "vrow_to_row": jnp.asarray(host["vrow_to_row"]),
+        }
 
     def _prepare_hybrid_build(self, coo, config: SpmmConfig):
         from pygim_tpu.core.partition import choose_ell_degree
@@ -342,14 +333,19 @@ class PreparedSpmm:
             max(1, config.block_nnz_budget // degree), 8
         ))
         ell = build_ell_rows(tail_csr, degree, row_chunk=chunk)
-        self.ell_degree = ell.degree
-        self.row_chunk = chunk
-        self._dev = {
-            "core": jnp.asarray(dense),
-            "core_nodes": jnp.asarray(order[:k]),  # rank i ↔ node order[i]
-            "cols2d": jnp.asarray(ell.cols),
-            "vals2d": jnp.asarray(ell.vals),
-            "vrow_to_row": jnp.asarray(ell.vrow_to_row),
+        core_store = dense
+        if core_dtype == "bfloat16":
+            core_store = dense.view(np.uint16)
+        return {
+            "k": np.int64(k),
+            "degree": np.int64(ell.degree),
+            "chunk": np.int64(chunk),
+            "core": core_store,
+            "core_dtype": np.str_(core_dtype),
+            "core_nodes": order[:k],  # rank i ↔ node order[i]
+            "cols2d": ell.cols,
+            "vals2d": ell.vals,
+            "vrow_to_row": ell.vrow_to_row,
         }
 
     def mul(self, x):
