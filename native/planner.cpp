@@ -172,6 +172,20 @@ int core_fill_f32(const int32_t* rows, const int32_t* cols,
   return 0;
 }
 
+// Row-major dense fill from a CSR operand already in rank space: writes
+// stream through each 4·k-byte row in order — TLB/cache friendly, ~10×
+// faster than random scatter over a multi-GB core.
+int csr_to_dense_f32(const int32_t* rowptr, const int32_t* colind,
+                     const float* vals, int32_t k, float* out) {
+  for (int32_t r = 0; r < k; ++r) {
+    float* row = out + static_cast<int64_t>(r) * k;
+    for (int64_t e = rowptr[r]; e < rowptr[r + 1]; ++e) {
+      row[colind[e]] += vals[e];
+    }
+  }
+  return 0;
+}
+
 // Tail extraction companion: writes a 0/1 mask of edges OUTSIDE the core.
 int core_tail_mask(const int32_t* rows, const int32_t* cols, int64_t nnz,
                    const int32_t* rank, int32_t k, uint8_t* tail_mask) {

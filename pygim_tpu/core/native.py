@@ -88,6 +88,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _i32p, _i32p, ctypes.c_int64, _i32p, ctypes.c_int32, _u8p
     ]
     lib.core_tail_mask.restype = ctypes.c_int
+    lib.csr_to_dense_f32.argtypes = [
+        _i32p, _i32p, _f32p, ctypes.c_int32, _f32p
+    ]
+    lib.csr_to_dense_f32.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -118,8 +122,10 @@ def coo_to_csr_native(rows, cols, vals, nrows: int):
 
 
 def core_fill_native(rows, cols, vals, rank, k: int):
-    """(dense core f32 (k,k), tail_mask bool) via the native single-pass
-    fill; None if unavailable."""
+    """(dense core f32 (k,k), tail_mask bool). Random scatter into a
+    multi-GB dense array is TLB-bound (~2.6 µs/edge measured at 16 GB);
+    instead: counting-sort the in-core edges into rank-space CSR (two
+    sequential passes) then fill row-major (sequential writes)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -128,11 +134,25 @@ def core_fill_native(rows, cols, vals, rank, k: int):
     vals = np.ascontiguousarray(vals, np.float32)
     rank = np.ascontiguousarray(rank, np.int32)
     nnz = rows.shape[0]
-    out = np.zeros((k, k), dtype=np.float32)
-    lib.core_fill_f32(rows, cols, vals, nnz, rank, k, out)
     mask = np.empty(nnz, dtype=np.uint8)
     lib.core_tail_mask(rows, cols, nnz, rank, k, mask)
-    return out, mask.astype(bool)
+    tail_mask = mask.astype(bool)
+    in_core = ~tail_mask
+    rr = np.ascontiguousarray(rank[rows[in_core]])
+    cc = np.ascontiguousarray(rank[cols[in_core]])
+    vv = np.ascontiguousarray(vals[in_core])
+    m = rr.shape[0]
+    rowptr = np.empty(k + 1, dtype=np.int32)
+    out = np.zeros((k, k), dtype=np.float32)
+    if m and lib.coo_rowptr(rr, m, k, rowptr) == 0:
+        colind = np.empty(m, dtype=np.int32)
+        sv = np.empty(m, dtype=np.float32)
+        lib.coo_to_csr_f32(rr, cc, vv, m, k, rowptr, colind, sv)
+        lib.csr_to_dense_f32(rowptr, colind, sv, k, out)
+    elif m:
+        # fallback: direct scatter (slow but correct)
+        lib.core_fill_f32(rows, cols, vals, nnz, rank, k, out)
+    return out, tail_mask
 
 
 def f32_to_bf16_bits(a: np.ndarray) -> np.ndarray:
