@@ -59,9 +59,17 @@ def main(argv=None):
     mesh = None
     n_mesh = args.sp_parts * args.ds_parts
     if n_mesh > 1:
+        import jax
+
         from pygim_tpu.parallel import make_mesh
 
-        mesh = make_mesh(args.sp_parts, args.ds_parts)
+        if n_mesh <= len(jax.devices()):
+            mesh = make_mesh(args.sp_parts, args.ds_parts)
+        else:
+            print(
+                f"[WARN] sp×ds={n_mesh} exceeds {len(jax.devices())} "
+                "devices; running single-chip"
+            )
 
     dtype = args.data_type if args.data_type != "float64" else "float32"
     run_spmm_benchmark(
