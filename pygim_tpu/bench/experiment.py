@@ -48,6 +48,8 @@ class Experiment:
     backend: str = "blocked"
     balance: str = "nnz"
     block_nnz_budget: int = 1 << 17
+    hybrid_core_bytes: int = 4 << 30   # hybrid backend core budget
+    hybrid_dtype: str = ""             # "" = vals dtype; "bfloat16" option
     repeat: int = 3
     tune: bool = False
 
@@ -61,6 +63,8 @@ class Experiment:
         return SpmmConfig(
             format=self.sp_format, backend=self.backend,
             balance=self.balance, block_nnz_budget=self.block_nnz_budget,
+            hybrid_core_bytes=self.hybrid_core_bytes,
+            hybrid_dtype=self.hybrid_dtype or None,
         )
 
     def status_at(self, results_dir) -> str:
