@@ -215,21 +215,47 @@ class EllRows:
     ncols: int
 
 
-def choose_ell_degree(row_lengths: np.ndarray) -> int:
+_ELL_DEGREE_CANDIDATES = (4, 8, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512)
+
+
+def choose_ell_degree(
+    row_lengths: np.ndarray,
+    hidden: Optional[int] = None,
+    partial_budget_bytes: int = 2 << 30,
+) -> int:
     """Auto degree D: argmin over candidates of the padded edge count
     ``Σ_r ceil(deg_r / D) · D`` plus a small per-virtual-row overhead term
-    (each virtual row costs one merge slot in the final segment-sum). This
-    directly minimizes the gather-bound runtime model: padded edges are
-    gathered, virtual rows are scattered."""
+    (each virtual row costs one merge slot in the final segment-sum) —
+    the gather-bound runtime model: padded edges are gathered, virtual
+    rows are scattered.
+
+    When ``hidden`` is given, the choice is additionally constrained so
+    the scan's stacked partial ``(n_virtual, hidden)`` stays under
+    ``partial_budget_bytes`` (HBM guard for huge graphs): D is raised
+    until the constraint holds or candidates run out (n_virtual can never
+    go below the number of non-empty rows)."""
     deg = row_lengths[row_lengths > 0].astype(np.int64)
     if deg.size == 0:
         return 4
+
+    def n_virtual(d):
+        return int((-(-deg // d)).sum())
+
     best_d, best_cost = 4, float("inf")
-    for d in (4, 8, 16, 24, 32, 48, 64, 96, 128):
-        n_vr = -(-deg // d)
-        cost = float(n_vr.sum() * d) + 2.0 * float(n_vr.sum())
+    for d in _ELL_DEGREE_CANDIDATES:
+        n_vr = n_virtual(d)
+        cost = float(n_vr * d) + 2.0 * float(n_vr)
         if cost < best_cost - 1e-9:
             best_d, best_cost = d, cost
+    if hidden is not None:
+        i = _ELL_DEGREE_CANDIDATES.index(best_d)
+        while (
+            n_virtual(_ELL_DEGREE_CANDIDATES[i]) * hidden * 4
+            > partial_budget_bytes
+            and i + 1 < len(_ELL_DEGREE_CANDIDATES)
+        ):
+            i += 1
+        best_d = _ELL_DEGREE_CANDIDATES[i]
     return best_d
 
 

@@ -57,6 +57,8 @@ class SpmmConfig:
     n_blocks: Optional[int] = None   # explicit override
     block_nnz_budget: int = 1 << 17  # ~128k nnz/block
     ell_degree: Optional[int] = None # ell backend: fixed degree (auto=None)
+    hidden_hint: int = 256           # expected dense width (memory guard
+                                     # for the auto degree chooser)
     interpret: bool = False          # pallas interpreter mode (tests)
     # hybrid backend: dense hub-core on the MXU + ELL tail via gather.
     hybrid_k: Optional[int] = None         # core size (auto from budget)
@@ -180,7 +182,9 @@ class PreparedSpmm:
             csr = csr if csr is not None else coo.to_csr()
             from pygim_tpu.core.partition import choose_ell_degree
 
-            degree = config.ell_degree or choose_ell_degree(csr.row_lengths)
+            degree = config.ell_degree or choose_ell_degree(
+                csr.row_lengths, hidden=config.hidden_hint
+            )
             # rows per scan chunk so each step gathers ~block_nnz_budget
             chunk = max(8, round_up(
                 max(1, config.block_nnz_budget // degree), 8
@@ -328,7 +332,9 @@ class PreparedSpmm:
             vals=coo.vals[~in_core], nrows=n, ncols=n,
         )
         tail_csr = tail.to_csr()
-        degree = config.ell_degree or choose_ell_degree(tail_csr.row_lengths)
+        degree = config.ell_degree or choose_ell_degree(
+            tail_csr.row_lengths, hidden=config.hidden_hint
+        )
         chunk = max(8, round_up(
             max(1, config.block_nnz_budget // degree), 8
         ))

@@ -94,7 +94,7 @@ def plan_statistics(
             deg = np.bincount(
                 rows_of[~in_core], minlength=csr.nrows
             ).astype(np.int64)
-        D = config.ell_degree or choose_ell_degree(deg)
+        D = config.ell_degree or choose_ell_degree(deg, hidden=hidden)
         n_vr = -(-deg[deg > 0] // D)
         padded_nnz = int(n_vr.sum() * D)
         # merge of virtual rows: one write + one scattered read per vrow
