@@ -248,11 +248,17 @@ def choose_ell_degree(
         if cost < best_cost - 1e-9:
             best_d, best_cost = d, cost
     if hidden is not None:
+        nnz = int(deg.sum())
         i = _ELL_DEGREE_CANDIDATES.index(best_d)
         while (
             n_virtual(_ELL_DEGREE_CANDIDATES[i]) * hidden * 4
             > partial_budget_bytes
             and i + 1 < len(_ELL_DEGREE_CANDIDATES)
+            # never trade more than 2× padded-edge blowup for memory:
+            # n_virtual is floored at the non-empty row count anyway
+            and n_virtual(_ELL_DEGREE_CANDIDATES[i + 1])
+            * _ELL_DEGREE_CANDIDATES[i + 1]
+            <= 2 * max(nnz, 1)
         ):
             i += 1
         best_d = _ELL_DEGREE_CANDIDATES[i]
