@@ -210,9 +210,19 @@ class PreparedSpmm:
             if coo.nrows != coo.ncols:
                 raise ValueError("hybrid backend requires square adjacency")
             if not np.issubdtype(coo.vals.dtype, np.floating):
-                raise ValueError(
-                    "hybrid backend supports float values; use 'ell' for "
-                    "integer aggregation"
+                # integer aggregation rides the bf16 core: int8 payloads
+                # (|v| ≤ 2^4 after symmetric quantization, quantize.py:22)
+                # and small multi-edge counts are exact in bf16; the tail
+                # stays exact-integer through the ell path.
+                if config.hybrid_dtype not in (None, "bfloat16"):
+                    raise ValueError(
+                        "integer hybrid aggregation requires a bfloat16 "
+                        "core"
+                    )
+                config = dataclasses.replace(config, hybrid_dtype="bfloat16")
+                self.config = config
+                coo = dataclasses.replace(
+                    coo, vals=coo.vals.astype(np.float32)
                 )
             self._prepare_hybrid(coo, config)
         elif backend == "coo":

@@ -204,10 +204,22 @@ def test_hybrid_auto_k_and_bf16(rng):
     np.testing.assert_allclose(out, ref, rtol=3e-2, atol=1e-1)
 
 
-def test_hybrid_rejects_int(rng):
-    coo = random_coo(rng, nrows=50, ncols=50, nnz=100, dtype="int32")
+def test_hybrid_int_rides_bf16_core(rng):
+    """Integer aggregation goes through a bf16 core — exact for the small
+    quantized payloads; result matches the exact ell path."""
+    coo = random_coo(rng, nrows=100, ncols=100, nnz=1200, dtype="int8")
+    x = rng.integers(-8, 9, size=(100, 16)).astype(np.int8)
+    hyb = prepare_spmm(coo, SpmmConfig(backend="hybrid", hybrid_k=32))
+    assert hyb.config.hybrid_dtype == "bfloat16"
+    out = np.asarray(hyb.mul(x))
+    ref = _dense_ref(coo, x)
+    np.testing.assert_allclose(out, ref, rtol=0, atol=0)  # exact
+
+    # explicit f32 core request with ints is rejected
     with pytest.raises(ValueError):
-        prepare_spmm(coo, SpmmConfig(backend="hybrid"))
+        prepare_spmm(
+            coo, SpmmConfig(backend="hybrid", hybrid_dtype="float32")
+        )
 
 
 def test_hybrid_prepare_cache(rng, tmp_path, monkeypatch):
