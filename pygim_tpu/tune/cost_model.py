@@ -87,16 +87,16 @@ def measure_constants(save: bool = True) -> TpuCostModel:
 
     from pygim_tpu.utils.timers import device_time
 
-    n, h = 1 << 22, 256  # 4 GB streamed per copy — amortizes overheads
+    n, h, g = 1 << 21, 256, 2_000_000  # 2 GB stream / 2 GB gather out
     x = jnp.ones((n, h), dtype=jnp.float32)
     idx = jnp.asarray(
-        np.random.default_rng(0).integers(0, n, 8_000_000), dtype=jnp.int32
+        np.random.default_rng(0).integers(0, n, g), dtype=jnp.int32
     )
     copy = jax.jit(lambda a: a * 1.0000001)
     gather = jax.jit(lambda a, i: jnp.take(a, i, axis=0))
 
     stream_bw = 2 * n * h * 4 / device_time(copy, x, iters=5)
-    gather_bw = 2 * 8_000_000 * h * 4 / device_time(gather, x, idx, iters=5)
+    gather_bw = 2 * g * h * 4 / device_time(gather, x, idx, iters=5)
     hbm = _DEFAULTS["hbm_bw"]
     model = TpuCostModel(
         hbm_bw=hbm,
