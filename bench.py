@@ -60,27 +60,38 @@ def main():
         f"({'synthetic' if ds.synthetic else 'real'})  [{time.time()-t_start:.0f}s]"
     )
 
-    cfg = SpmmConfig(
-        backend=os.environ.get("PYGIM_BENCH_BACKEND", "hybrid"),
-        format="csr",
-        hybrid_core_bytes=int(
-            os.environ.get("PYGIM_BENCH_CORE_BYTES", 8 << 30)
-        ),
-        hybrid_dtype=os.environ.get("PYGIM_BENCH_CORE_DTYPE", "bfloat16")
-        or None,
-    )
-    t0 = time.time()
-    prep = prepare_spmm(graph, cfg)
-    log(f"prepare: {time.time()-t0:.1f}s")
-
+    backend = os.environ.get("PYGIM_BENCH_BACKEND", "hybrid")
+    budgets = [
+        int(os.environ.get("PYGIM_BENCH_CORE_BYTES", 12 << 30)),
+        8 << 30, 4 << 30,
+    ]
     rng = np.random.default_rng(0)
     x = jnp.asarray(
         rng.standard_normal((graph.ncols, hidden)), dtype=jnp.float32
     )
+    iters = int(os.environ.get("PYGIM_BENCH_ITERS", 5))
 
-    t0 = time.time()
-    dt = device_time(prep.mul, x, iters=int(os.environ.get("PYGIM_BENCH_ITERS", 5)))
-    log(f"timed (incl. compile {time.time()-t0:.0f}s): {dt*1e3:.1f} ms/iter")
+    dt = None
+    for budget in budgets:
+        cfg = SpmmConfig(
+            backend=backend, format="csr", hybrid_core_bytes=budget,
+            hybrid_dtype=os.environ.get("PYGIM_BENCH_CORE_DTYPE", "bfloat16")
+            or None,
+        )
+        try:
+            t0 = time.time()
+            prep = prepare_spmm(graph, cfg)
+            log(f"prepare (core budget {budget >> 30} GiB): {time.time()-t0:.1f}s")
+            t0 = time.time()
+            dt = device_time(prep.mul, x, iters=iters)
+            log(f"timed (incl. compile {time.time()-t0:.0f}s): {dt*1e3:.1f} ms/iter")
+            break
+        except Exception as e:
+            log(f"budget {budget >> 30} GiB failed ({type(e).__name__}); "
+                "retrying smaller core")
+            if backend != "hybrid" or budget == budgets[-1]:
+                raise
+    assert dt is not None
 
     model_bytes = spmm_model_bytes(graph.nnz, graph.nrows, hidden, 4)
     gbps = model_bytes / dt / 1e9
