@@ -45,7 +45,10 @@ def main(argv=None):
     from pygim_tpu.ops.spmm import SpmmConfig
 
     kw = {} if args.data_root is None else {"root": args.data_root}
-    ds = load_dataset(args.dataset, **kw)
+    try:
+        ds = load_dataset(args.dataset, **kw)
+    except KeyError as e:
+        raise SystemExit(f"error: {e.args[0]}")
     if args.dataset == "amazonproducts":
         ds = cluster_partition(ds, part_size=500_000, part_idx=1)
 

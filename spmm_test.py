@@ -43,7 +43,10 @@ def main(argv=None):
     from pygim_tpu.ops.spmm import SpmmConfig
 
     kw = {} if args.data_root is None else {"root": args.data_root}
-    ds = load_dataset(args.dataset, **kw)
+    try:
+        ds = load_dataset(args.dataset, **kw)
+    except KeyError as e:
+        raise SystemExit(f"error: {e.args[0]}")
 
     if args.version == "cpu":
         cfg = SpmmConfig(backend="oracle", format=args.sp_format)

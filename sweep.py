@@ -57,8 +57,12 @@ def main(argv=None):
         )
         logger.info("completed %d runs", len(results))
     elif args.cmd == "parse":
+        from pathlib import Path
+
         from pygim_tpu.bench import results_to_csv
 
+        if not Path(args.results).is_dir():
+            p.error(f"results directory not found: {args.results}")
         out = results_to_csv(args.results, args.out)
         print(out)
     elif args.cmd == "migrate":

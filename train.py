@@ -43,7 +43,10 @@ def main(argv=None):
     from pygim_tpu.utils.metrics import data_print
 
     kw = {} if args.data_root is None else {"root": args.data_root}
-    ds = load_dataset(args.dataset, **kw)
+    try:
+        ds = load_dataset(args.dataset, **kw)
+    except KeyError as e:
+        raise SystemExit(f"error: {e.args[0]}")
     cfg = SpmmConfig(backend=args.backend)
     n_mesh = args.sp_parts * args.ds_parts
     if n_mesh > 1:
