@@ -130,3 +130,30 @@ def test_jit_with_dev_arrays_threading(rng):
         np.asarray(model.apply(x, prep.mul)),
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_train_step_threaded_matches_closure(rng):
+    import optax
+
+    from pygim_tpu.nn.train import make_train_step, make_train_step_threaded
+    from pygim_tpu.ops.spmm import SpmmConfig, prepare_spmm
+
+    n, f = 60, 8
+    coo = random_coo(rng, nrows=n, ncols=n, nnz=300)
+    prep = prepare_spmm(coo, SpmmConfig(backend="ell"))
+    model = make_gnn(jax.random.key(0), "gcn", f, 16, 3)
+    opt = optax.sgd(1e-2)
+    s0 = opt.init(model.params)
+    x = jnp.asarray(rng.standard_normal((n, f)), dtype=jnp.float32)
+    y = jnp.asarray(rng.integers(0, 3, n))
+    m = jnp.ones((n,), dtype=jnp.float32)
+    key = jax.random.key(7)
+
+    closure_step = jax.jit(make_train_step(model, prep.mul, opt))
+    p1, _, l1 = closure_step(model.params, s0, x, y, m, key)
+    threaded, dev = make_train_step_threaded(model, prep, opt)
+    p2, _, l2 = jax.jit(threaded)(model.params, s0, x, y, m, key, dev)
+    assert abs(float(l1) - float(l2)) < 1e-6
+    np.testing.assert_allclose(
+        np.asarray(p1["ln1"]["w"]), np.asarray(p2["ln1"]["w"]), rtol=1e-6
+    )
