@@ -28,13 +28,11 @@ from jax.sharding import PartitionSpec as P
 
 from pygim_tpu.core.graph import CsrGraph
 from pygim_tpu.core.partition import (
-    build_ell_blocks,
-    make_row_block_plan,
+    build_ell_rows,
+    choose_ell_degree,
     round_up,
-    row_slot_table,
-    with_padding,
 )
-from pygim_tpu.ops.spmm import SpmmConfig, blocked_spmm
+from pygim_tpu.ops.spmm import SpmmConfig, ell_scan_spmm
 
 
 class PreparedSpmm2D:
@@ -63,47 +61,59 @@ class PreparedSpmm2D:
         )
         parts = padded.col_split(sp)
 
-        # one static shape across all sp parts
-        nb = config.resolve_n_blocks(max(1, csr.nnz // sp))
-        plans = [
-            make_row_block_plan(p, nb, balance=config.balance) for p in parts
-        ]
-        rows_pad = max(pl.rows_pad for pl in plans)
-        nnz_pad = max(pl.nnz_pad for pl in plans)
-        plans = [with_padding(pl, rows_pad, nnz_pad) for pl in plans]
-        ells = [build_ell_blocks(p, pl) for p, pl in zip(parts, plans)]
-        self.rows_pad, self.nnz_pad, self.n_blocks = rows_pad, nnz_pad, nb
+        # per-shard fixed-degree ELL tables (the ell backend's formulation,
+        # the fastest gather-engine path measured — docs/PERF.md), with one
+        # static shape across all sp parts: shared degree D and chunk,
+        # virtual-row dim padded to the max over parts (pad rows have
+        # val 0 / vrow 0 — harmless additions to row 0).
+        degree = config.ell_degree or choose_ell_degree(
+            csr.row_lengths, hidden=config.hidden_hint
+        )
+        chunk = max(8, round_up(
+            max(1, config.block_nnz_budget // degree), 8
+        ))
+        ells = [build_ell_rows(p, degree, row_chunk=chunk) for p in parts]
+        nvr_pad = max(e.cols.shape[0] for e in ells)
+        nvr_pad = round_up(nvr_pad, chunk)
 
+        def pad_part(a, fill=0):
+            out = np.full((nvr_pad,) + a.shape[1:], fill, dtype=a.dtype)
+            out[: a.shape[0]] = a
+            return out
+
+        self.ell_degree, self.row_chunk = degree, chunk
+        self.n_virtual_pad = nvr_pad
         sharded = NamedSharding(mesh, P("sp"))
         self._dev = {
-            "colind": jax.device_put(
-                np.stack([e.colind for e in ells]), sharded
+            "cols2d": jax.device_put(
+                np.stack([pad_part(e.cols) for e in ells]), sharded
             ),
-            "vals": jax.device_put(np.stack([e.vals for e in ells]), sharded),
-            "rowloc": jax.device_put(
-                np.stack([e.rowloc for e in ells]), sharded
+            "vals2d": jax.device_put(
+                np.stack([pad_part(e.vals) for e in ells]), sharded
             ),
-            "row_slot": jax.device_put(
-                np.stack([row_slot_table(pl) for pl in plans]), sharded
+            "vrow_to_row": jax.device_put(
+                np.stack([pad_part(e.vrow_to_row) for e in ells]), sharded
             ),
         }
         self._x_sharding = NamedSharding(mesh, P("sp", "ds"))
         self._run = self._build_run()
 
     def _build_run(self):
-        mesh, rows_pad = self.mesh, self.rows_pad
+        mesh = self.mesh
+        chunk, degree, nrows = self.row_chunk, self.ell_degree, self.nrows
 
-        def local_fn(colind, vals, rowloc, row_slot, x_local):
+        def local_fn(cols2d, vals2d, vrow_to_row, x_local):
             # leading sp dim arrives as size-1 block; squeeze it
-            out = blocked_spmm(
-                colind[0], vals[0], rowloc[0], row_slot[0], x_local, rows_pad
+            out = ell_scan_spmm(
+                x_local, cols2d[0], vals2d[0], vrow_to_row[0],
+                chunk, degree, nrows,
             )
             return jax.lax.psum(out, "sp")
 
         shard_fn = jax.shard_map(
             local_fn,
             mesh=mesh,
-            in_specs=(P("sp"), P("sp"), P("sp"), P("sp"), P("sp", "ds")),
+            in_specs=(P("sp"), P("sp"), P("sp"), P("sp", "ds")),
             out_specs=P(None, "ds"),
         )
         return jax.jit(shard_fn)
@@ -120,8 +130,8 @@ class PreparedSpmm2D:
             xp = xp.at[: self.ncols, :h].set(x)
         xp = jax.device_put(xp, self._x_sharding)
         out = self._run(
-            self._dev["colind"], self._dev["vals"], self._dev["rowloc"],
-            self._dev["row_slot"], xp,
+            self._dev["cols2d"], self._dev["vals2d"],
+            self._dev["vrow_to_row"], xp,
         )
         return out[:, :h] if h_pad != h else out
 
