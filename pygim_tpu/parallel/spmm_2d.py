@@ -61,6 +61,16 @@ class PreparedSpmm2D:
         )
         parts = padded.col_split(sp)
 
+        # distributed hybrid: the dense hub-core is column-sharded over sp
+        # (shard s holds the core columns whose nodes live in its x rows),
+        # so core memory scales down with sp and the existing psum merges
+        # core and tail contributions together.
+        self.hybrid_k_eff = 0
+        if config.backend == "hybrid":
+            if csr.nrows != csr.ncols:
+                raise ValueError("hybrid backend requires square adjacency")
+            self._plan_core_2d(csr, parts, config)
+
         # per-shard fixed-degree ELL tables (the ell backend's formulation,
         # the fastest gather-engine path measured — docs/PERF.md), with one
         # static shape across all sp parts: shared degree D and chunk,
@@ -98,22 +108,100 @@ class PreparedSpmm2D:
         self._x_sharding = NamedSharding(mesh, P("sp", "ds"))
         self._run = self._build_run()
 
+    def _plan_core_2d(self, csr, parts, config: SpmmConfig):
+        """Column-shard the dense hub-core over sp; strips core edges out
+        of ``parts`` in place (the tail keeps only non-core edges)."""
+        import ml_dtypes
+
+        n, sp = csr.nrows, self.sp
+        deg = np.diff(csr.rowptr).astype(np.int64)
+        deg = deg + np.bincount(csr.colind, minlength=n)[:n]
+        order = np.argsort(-deg).astype(np.int32)
+        rank = np.empty(n, dtype=np.int32)
+        rank[order] = np.arange(n, dtype=np.int32)
+
+        core_dtype = config.hybrid_dtype or "float32"
+        itemsize = 2 if core_dtype == "bfloat16" else 4
+        if config.hybrid_k is not None:
+            k = max(1, min(config.hybrid_k, n))
+        else:
+            # per-shard core memory is ~k²/sp: the budget buys a √sp-larger core
+            k = int(np.sqrt(config.hybrid_core_bytes * sp / itemsize))
+            k = min(max((k // 256) * 256, min(256, n)), n)
+        self.hybrid_k_eff = k
+
+        w = self.ncols_pad // sp
+        dense = np.zeros((k, k), dtype=np.float32)
+        for s, p in enumerate(parts):
+            lo = s * w
+            rows_of = np.repeat(
+                np.arange(p.nrows, dtype=np.int64), np.diff(p.rowptr)
+            )
+            rr = rank[rows_of]
+            cc_global = p.colind.astype(np.int64) + lo
+            cc = rank[np.minimum(cc_global, n - 1)]
+            in_core = (rr < k) & (cc < k) & (cc_global < n)
+            np.add.at(dense, (rr[in_core], cc[in_core]),
+                      p.vals[in_core].astype(np.float32))
+            # strip core edges from the tail part (rebuild CSR)
+            keep = ~in_core
+            counts = np.bincount(rows_of[keep], minlength=p.nrows)
+            rowptr = np.zeros(p.nrows + 1, dtype=np.int32)
+            np.cumsum(counts, out=rowptr[1:])
+            parts[s] = CsrGraph(
+                rowptr=rowptr, colind=p.colind[keep], vals=p.vals[keep],
+                ncols=p.ncols,
+            )
+
+        # per-shard column slices of the core, padded to a common width
+        owner = order[:k] // w  # shard owning each ranked node's x row
+        k_col_pad = max(8, int(np.bincount(owner, minlength=sp).max()))
+        cores = np.zeros((sp, k, k_col_pad), dtype=np.float32)
+        core_rows = np.zeros((sp, k_col_pad), dtype=np.int32)
+        for s in range(sp):
+            sel = np.flatnonzero(owner == s)
+            cores[s, :, : sel.size] = dense[:, sel]
+            core_rows[s, : sel.size] = order[:k][sel] - s * w
+        if core_dtype == "bfloat16":
+            cores = cores.astype(ml_dtypes.bfloat16)
+        sharded = NamedSharding(self.mesh, P("sp"))
+        self._core_dev = {
+            "core": jax.device_put(cores, sharded),
+            "core_rows": jax.device_put(core_rows, sharded),
+            "core_nodes": jax.device_put(
+                order[:k], NamedSharding(self.mesh, P())
+            ),
+        }
+
     def _build_run(self):
         mesh = self.mesh
         chunk, degree, nrows = self.row_chunk, self.ell_degree, self.nrows
+        hybrid = self.hybrid_k_eff > 0
 
-        def local_fn(cols2d, vals2d, vrow_to_row, x_local):
+        def local_fn(cols2d, vals2d, vrow_to_row, x_local, *core_args):
             # leading sp dim arrives as size-1 block; squeeze it
             out = ell_scan_spmm(
                 x_local, cols2d[0], vals2d[0], vrow_to_row[0],
                 chunk, degree, nrows,
             )
+            if hybrid:
+                core, core_rows, core_nodes = core_args
+                xc = jnp.take(x_local, core_rows[0], axis=0).astype(
+                    core.dtype
+                )
+                co = jnp.dot(
+                    core[0], xc, preferred_element_type=jnp.float32
+                )
+                out = out.at[core_nodes].add(co.astype(out.dtype))
             return jax.lax.psum(out, "sp")
 
+        in_specs = [P("sp"), P("sp"), P("sp"), P("sp", "ds")]
+        if hybrid:
+            in_specs += [P("sp"), P("sp"), P()]
         shard_fn = jax.shard_map(
             local_fn,
             mesh=mesh,
-            in_specs=(P("sp"), P("sp"), P("sp"), P("sp", "ds")),
+            in_specs=tuple(in_specs),
             out_specs=P(None, "ds"),
         )
         return jax.jit(shard_fn)
@@ -129,10 +217,16 @@ class PreparedSpmm2D:
             xp = jnp.zeros((self.ncols_pad, h_pad), dtype=x.dtype)
             xp = xp.at[: self.ncols, :h].set(x)
         xp = jax.device_put(xp, self._x_sharding)
-        out = self._run(
+        args = [
             self._dev["cols2d"], self._dev["vals2d"],
             self._dev["vrow_to_row"], xp,
-        )
+        ]
+        if self.hybrid_k_eff > 0:
+            args += [
+                self._core_dev["core"], self._core_dev["core_rows"],
+                self._core_dev["core_nodes"],
+            ]
+        out = self._run(*args)
         return out[:, :h] if h_pad != h else out
 
 

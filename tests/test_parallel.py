@@ -73,3 +73,52 @@ def test_model_over_2d_mesh(rng):
 def test_mesh_too_small_raises():
     with pytest.raises(ValueError):
         make_mesh(4, 4)  # 16 > 8 virtual devices
+
+
+@pytest.mark.parametrize("sp,ds", [(2, 2), (4, 1), (2, 4)])
+def test_2d_hybrid_matches_dense(rng, sp, ds):
+    """Distributed hybrid: core column-sharded over sp, merged by psum."""
+    coo = random_coo(rng, nrows=150, ncols=150, nnz=2500)
+    x = rng.standard_normal((150, 24)).astype(np.float32)
+    mesh = make_mesh(sp, ds)
+    prep = prepare_spmm_2d(
+        coo, mesh, SpmmConfig(backend="hybrid", hybrid_k=48)
+    )
+    assert prep.hybrid_k_eff == 48
+    out = np.asarray(prep.mul(jnp.asarray(x)))
+    np.testing.assert_allclose(out, _dense_ref(coo, x), rtol=1e-4, atol=1e-4)
+
+
+def test_2d_hybrid_hub_heavy(rng):
+    from pygim_tpu.core.graph import CooGraph
+
+    n = 120
+    hub_r = rng.integers(0, 10, 3000)
+    hub_c = rng.integers(0, 10, 3000)
+    t_r = rng.integers(0, n, 300)
+    t_c = rng.integers(0, n, 300)
+    coo = CooGraph.from_edges(
+        np.concatenate([hub_r, t_r]), np.concatenate([hub_c, t_c]),
+        rng.standard_normal(3300), nrows=n, ncols=n,
+    )
+    x = rng.standard_normal((n, 16)).astype(np.float32)
+    prep = prepare_spmm_2d(
+        coo, make_mesh(4, 2), SpmmConfig(backend="hybrid", hybrid_k=16)
+    )
+    np.testing.assert_allclose(
+        np.asarray(prep.mul(jnp.asarray(x))), _dense_ref(coo, x),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_2d_hybrid_bf16_core(rng):
+    coo = random_coo(rng, nrows=100, ncols=100, nnz=1500)
+    x = rng.standard_normal((100, 16)).astype(np.float32)
+    prep = prepare_spmm_2d(
+        coo, make_mesh(2, 2),
+        SpmmConfig(backend="hybrid", hybrid_k=32, hybrid_dtype="bfloat16"),
+    )
+    np.testing.assert_allclose(
+        np.asarray(prep.mul(jnp.asarray(x))), _dense_ref(coo, x),
+        rtol=3e-2, atol=1e-1,
+    )
