@@ -34,13 +34,11 @@ from jax.sharding import PartitionSpec as P
 
 from pygim_tpu.core.graph import CsrGraph
 from pygim_tpu.core.partition import (
-    build_ell_blocks,
-    make_row_block_plan,
+    build_ell_rows,
+    choose_ell_degree,
     round_up,
-    row_slot_table,
-    with_padding,
 )
-from pygim_tpu.ops.spmm import SpmmConfig, blocked_spmm
+from pygim_tpu.ops.spmm import SpmmConfig, ell_scan_spmm
 
 
 def make_node_mesh(n_devices: int, devices=None) -> Mesh:
@@ -106,22 +104,33 @@ class PreparedSpmmHalo:
     # ----------------------------------------------------------- planning
 
     def _ell_tables(self, parts, ncols_local_fn):
-        """Shared-shape ELL tables per device part."""
+        """Shared-shape fixed-degree ELL tables per device part (the ell
+        backend's formulation, shared with the 2D mesh path)."""
         cfg = self.config
-        nb = cfg.resolve_n_blocks(max(1, max(p.nnz for p in parts)))
-        plans = [make_row_block_plan(p, nb, balance=cfg.balance) for p in parts]
-        rows_pad = max(pl.rows_pad for pl in plans)
-        nnz_pad = max(pl.nnz_pad for pl in plans)
-        plans = [with_padding(pl, rows_pad, nnz_pad) for pl in plans]
-        ells = [build_ell_blocks(p, pl) for p, pl in zip(parts, plans)]
-        self.rows_pad, self.n_blocks = rows_pad, nb
+        all_len = np.concatenate([p.row_lengths for p in parts])
+        degree = cfg.ell_degree or choose_ell_degree(
+            all_len, hidden=cfg.hidden_hint
+        )
+        chunk = max(8, round_up(max(1, cfg.block_nnz_budget // degree), 8))
+        ells = [build_ell_rows(p, degree, row_chunk=chunk) for p in parts]
+        nvr_pad = round_up(max(e.cols.shape[0] for e in ells), chunk)
+
+        def pad_part(a):
+            out = np.zeros((nvr_pad,) + a.shape[1:], dtype=a.dtype)
+            out[: a.shape[0]] = a
+            return out
+
+        self.ell_degree, self.row_chunk = degree, chunk
         sh = NamedSharding(self.mesh, P("nodes"))
         return {
-            "colind": jax.device_put(np.stack([e.colind for e in ells]), sh),
-            "vals": jax.device_put(np.stack([e.vals for e in ells]), sh),
-            "rowloc": jax.device_put(np.stack([e.rowloc for e in ells]), sh),
-            "row_slot": jax.device_put(
-                np.stack([row_slot_table(pl) for pl in plans]), sh
+            "cols2d": jax.device_put(
+                np.stack([pad_part(e.cols) for e in ells]), sh
+            ),
+            "vals2d": jax.device_put(
+                np.stack([pad_part(e.vals) for e in ells]), sh
+            ),
+            "vrow_to_row": jax.device_put(
+                np.stack([pad_part(e.vrow_to_row) for e in ells]), sh
             ),
         }
 
@@ -186,18 +195,51 @@ class PreparedSpmmHalo:
     # ------------------------------------------------------------ run fns
 
     def _build_run(self):
-        mesh, rows_pad, nd = self.mesh, self.rows_pad, self.nd
+        mesh, nd = self.mesh, self.nd
         rpd = self.rows_per_dev
+        chunk, degree = self.row_chunk, self.ell_degree
 
         if self.exchange == "all_gather":
 
-            def local_fn(colind, vals, rowloc, row_slot, x_local):
+            def local_fn(cols2d, vals2d, vrow_to_row, x_local):
                 x_full = jax.lax.all_gather(
                     x_local[0], "nodes", tiled=True
                 )
-                out = blocked_spmm(
-                    colind[0], vals[0], rowloc[0], row_slot[0], x_full,
-                    rows_pad,
+                out = ell_scan_spmm(
+                    x_full, cols2d[0], vals2d[0], vrow_to_row[0],
+                    chunk, degree, rpd,
+                )
+                return out[None]
+
+            in_specs = (P("nodes"),) * 3 + (P("nodes"),)
+
+            def runner(dev, xp):
+                return jax.shard_map(
+                    local_fn, mesh=mesh, in_specs=in_specs,
+                    out_specs=P("nodes"),
+                )(
+                    dev["cols2d"], dev["vals2d"], dev["vrow_to_row"], xp,
+                )
+
+        else:
+            K = self.halo_k
+
+            def local_fn(cols2d, vals2d, vrow_to_row, send_idx, x_local):
+                x_loc = x_local[0]                     # (rpd, H)
+                # build per-peer send buffers: rows each peer requested
+                send = jnp.take(x_loc, send_idx[0].reshape(-1), axis=0)
+                send = send.reshape(nd, K, x_loc.shape[1])
+                # all_to_all: peer p's chunk lands in slot p (ordered by
+                # source device)
+                halo = jax.lax.all_to_all(
+                    send, "nodes", split_axis=0, concat_axis=0
+                )
+                x_ext = jnp.concatenate(
+                    [x_loc, halo.reshape(nd * K, -1)], axis=0
+                )
+                out = ell_scan_spmm(
+                    x_ext, cols2d[0], vals2d[0], vrow_to_row[0],
+                    chunk, degree, rpd,
                 )
                 return out[None]
 
@@ -208,41 +250,8 @@ class PreparedSpmmHalo:
                     local_fn, mesh=mesh, in_specs=in_specs,
                     out_specs=P("nodes"),
                 )(
-                    dev["colind"], dev["vals"], dev["rowloc"],
-                    dev["row_slot"], xp,
-                )
-
-        else:
-            K = self.halo_k
-
-            def local_fn(colind, vals, rowloc, row_slot, send_idx, x_local):
-                x_loc = x_local[0]                     # (rpd, H)
-                # build per-peer send buffers: rows each peer requested
-                send = jnp.take(x_loc, send_idx[0].reshape(-1), axis=0)
-                send = send.reshape(nd, K, x_loc.shape[1])
-                # all_to_all: peer p's slot d receives what d sent to p
-                # peer p's chunk lands in slot p (ordered by source device)
-                halo = jax.lax.all_to_all(
-                    send, "nodes", split_axis=0, concat_axis=0
-                )
-                x_ext = jnp.concatenate(
-                    [x_loc, halo.reshape(nd * K, -1)], axis=0
-                )
-                out = blocked_spmm(
-                    colind[0], vals[0], rowloc[0], row_slot[0], x_ext,
-                    rows_pad,
-                )
-                return out[None]
-
-            in_specs = (P("nodes"),) * 5 + (P("nodes"),)
-
-            def runner(dev, xp):
-                return jax.shard_map(
-                    local_fn, mesh=mesh, in_specs=in_specs,
-                    out_specs=P("nodes"),
-                )(
-                    dev["colind"], dev["vals"], dev["rowloc"],
-                    dev["row_slot"], dev["send_idx"], xp,
+                    dev["cols2d"], dev["vals2d"], dev["vrow_to_row"],
+                    dev["send_idx"], xp,
                 )
 
         def run(xp):
