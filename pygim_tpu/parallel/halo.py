@@ -167,12 +167,18 @@ class PreparedSpmmHalo:
         # remap each device's colind into [local | halo] index space:
         #   local col c (owner==d)  -> c - d*rpd
         #   remote col c (owner==p) -> rpd + p*K + position in requests[d][p]
-        remapped_parts = []
+        # split each part into LOCAL-only edges (computable before the
+        # exchange lands — XLA overlaps that ell scan with the all_to_all)
+        # and HALO edges (indices into the received (nd*K, H) buffer).
+        local_parts, halo_parts = [], []
         for d, p in enumerate(parts):
             owner = p.colind // rpd
+            rows_of = np.repeat(
+                np.arange(p.nrows, dtype=np.int64), np.diff(p.rowptr)
+            )
+            is_local = owner == d
             new_col = np.empty_like(p.colind)
-            local = owner == d
-            new_col[local] = p.colind[local] - d * rpd
+            new_col[is_local] = p.colind[is_local] - d * rpd
             for peer in range(nd):
                 if peer == d:
                     continue
@@ -180,14 +186,27 @@ class PreparedSpmmHalo:
                 if not sel.any():
                     continue
                 pos = np.searchsorted(requests[d][peer], p.colind[sel])
-                new_col[sel] = rpd + peer * K + pos
-            remapped_parts.append(
-                CsrGraph(
-                    rowptr=p.rowptr, colind=new_col, vals=p.vals,
-                    ncols=rpd + nd * K,
+                new_col[sel] = peer * K + pos  # index into the halo buffer
+
+            def rebuild(mask, ncols):
+                counts = np.bincount(rows_of[mask], minlength=p.nrows)
+                rowptr = np.zeros(p.nrows + 1, dtype=np.int32)
+                np.cumsum(counts, out=rowptr[1:])
+                return CsrGraph(
+                    rowptr=rowptr, colind=new_col[mask], vals=p.vals[mask],
+                    ncols=ncols,
                 )
-            )
-        self._dev = self._ell_tables(remapped_parts, None)
+
+            local_parts.append(rebuild(is_local, rpd))
+            halo_parts.append(rebuild(~is_local, nd * K))
+        local_tabs = self._ell_tables(local_parts, None)
+        self._local_chunk = self.row_chunk
+        self._local_degree = self.ell_degree
+        halo_tabs = self._ell_tables(halo_parts, None)
+        self._halo_chunk = self.row_chunk
+        self._halo_degree = self.ell_degree
+        self._dev = {f"local_{k2}": v for k2, v in local_tabs.items()}
+        self._dev.update({f"halo_{k2}": v for k2, v in halo_tabs.items()})
         self._dev["send_idx"] = jax.device_put(
             send_idx, NamedSharding(self.mesh, P("nodes"))
         )
@@ -223,34 +242,42 @@ class PreparedSpmmHalo:
 
         else:
             K = self.halo_k
+            lc, ld = self._local_chunk, self._local_degree
+            hc, hd = self._halo_chunk, self._halo_degree
 
-            def local_fn(cols2d, vals2d, vrow_to_row, send_idx, x_local):
+            def local_fn(
+                lcols, lvals, lvrow, hcols, hvals, hvrow, send_idx, x_local
+            ):
                 x_loc = x_local[0]                     # (rpd, H)
-                # build per-peer send buffers: rows each peer requested
+                # start the exchange: rows each peer requested
                 send = jnp.take(x_loc, send_idx[0].reshape(-1), axis=0)
                 send = send.reshape(nd, K, x_loc.shape[1])
-                # all_to_all: peer p's chunk lands in slot p (ordered by
-                # source device)
                 halo = jax.lax.all_to_all(
                     send, "nodes", split_axis=0, concat_axis=0
                 )
-                x_ext = jnp.concatenate(
-                    [x_loc, halo.reshape(nd * K, -1)], axis=0
-                )
+                # local-only edges depend ONLY on x_loc — XLA's scheduler
+                # overlaps this scan with the in-flight all_to_all
                 out = ell_scan_spmm(
-                    x_ext, cols2d[0], vals2d[0], vrow_to_row[0],
-                    chunk, degree, rpd,
+                    x_loc, lcols[0], lvals[0], lvrow[0], lc, ld, rpd
+                )
+                # halo edges consume the received buffer (peer p's chunk
+                # lands in slot p, ordered by source device)
+                out = out + ell_scan_spmm(
+                    halo.reshape(nd * K, -1), hcols[0], hvals[0], hvrow[0],
+                    hc, hd, rpd,
                 )
                 return out[None]
 
-            in_specs = (P("nodes"),) * 4 + (P("nodes"),)
+            in_specs = (P("nodes"),) * 7 + (P("nodes"),)
 
             def runner(dev, xp):
                 return jax.shard_map(
                     local_fn, mesh=mesh, in_specs=in_specs,
                     out_specs=P("nodes"),
                 )(
-                    dev["cols2d"], dev["vals2d"], dev["vrow_to_row"],
+                    dev["local_cols2d"], dev["local_vals2d"],
+                    dev["local_vrow_to_row"], dev["halo_cols2d"],
+                    dev["halo_vals2d"], dev["halo_vrow_to_row"],
                     dev["send_idx"], xp,
                 )
 
