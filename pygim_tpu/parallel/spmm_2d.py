@@ -44,10 +44,19 @@ class PreparedSpmm2D:
     (replicated over ``ds``); x is sharded (rows→sp, features→ds).
     """
 
-    def __init__(self, graph, mesh: Mesh, config: Optional[SpmmConfig] = None):
+    def __init__(
+        self, graph, mesh: Mesh, config: Optional[SpmmConfig] = None,
+        *, scatter_output: bool = False,
+    ):
         config = config or SpmmConfig()
         self.mesh = mesh
         self.config = config
+        # scatter_output: reduce-scatter the sp-axis merge so the output
+        # comes back fully sharded P("sp","ds") — rows over sp, features
+        # over ds — instead of row-replicated P(None,"ds"). Halves the
+        # merge traffic and leaves the result distributed for a following
+        # sharded layer.
+        self.scatter_output = scatter_output
         sp = mesh.shape["sp"]
         self.sp, self.ds = sp, mesh.shape["ds"]
 
@@ -175,8 +184,13 @@ class PreparedSpmm2D:
 
     def _build_run(self):
         mesh = self.mesh
-        chunk, degree, nrows = self.row_chunk, self.ell_degree, self.nrows
+        chunk, degree = self.row_chunk, self.ell_degree
         hybrid = self.hybrid_k_eff > 0
+        scatter = self.scatter_output
+        sp = self.sp
+        # scatter mode pads rows so each sp shard owns an equal row block
+        self.nrows_pad = round_up(self.nrows, sp) if scatter else self.nrows
+        nrows = self.nrows_pad
 
         def local_fn(cols2d, vals2d, vrow_to_row, x_local, *core_args):
             # leading sp dim arrives as size-1 block; squeeze it
@@ -193,6 +207,11 @@ class PreparedSpmm2D:
                     core[0], xc, preferred_element_type=jnp.float32
                 )
                 out = out.at[core_nodes].add(co.astype(out.dtype))
+            if scatter:
+                # reduce-scatter over sp: each shard keeps its row block
+                return jax.lax.psum_scatter(
+                    out, "sp", scatter_dimension=0, tiled=True
+                )
             return jax.lax.psum(out, "sp")
 
         in_specs = [P("sp"), P("sp"), P("sp"), P("sp", "ds")]
@@ -202,7 +221,7 @@ class PreparedSpmm2D:
             local_fn,
             mesh=mesh,
             in_specs=tuple(in_specs),
-            out_specs=P(None, "ds"),
+            out_specs=P("sp", "ds") if scatter else P(None, "ds"),
         )
         return jax.jit(shard_fn)
 
@@ -227,15 +246,18 @@ class PreparedSpmm2D:
                 self._core_dev["core_nodes"],
             ]
         out = self._run(*args)
+        if self.scatter_output:
+            out = out[: self.nrows]
         return out[:, :h] if h_pad != h else out
 
 
 def prepare_spmm_2d(
-    graph, mesh: Mesh, config: Optional[SpmmConfig] = None, **kw
+    graph, mesh: Mesh, config: Optional[SpmmConfig] = None,
+    *, scatter_output: bool = False, **kw
 ) -> PreparedSpmm2D:
     """Entry point — the distributed analog of ``prepare_pim_spmm``."""
     if config is None:
         config = SpmmConfig(**kw)
     elif kw:
         config = dataclasses.replace(config, **kw)
-    return PreparedSpmm2D(graph, mesh, config)
+    return PreparedSpmm2D(graph, mesh, config, scatter_output=scatter_output)

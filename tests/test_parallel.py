@@ -122,3 +122,27 @@ def test_2d_hybrid_bf16_core(rng):
         np.asarray(prep.mul(jnp.asarray(x))), _dense_ref(coo, x),
         rtol=3e-2, atol=1e-1,
     )
+
+
+@pytest.mark.parametrize("sp,ds", [(2, 2), (4, 2)])
+def test_2d_scatter_output(rng, sp, ds):
+    """reduce-scatter merge: fully sharded output, same values."""
+    coo = random_coo(rng, nrows=130, ncols=130, nnz=1500)
+    x = rng.standard_normal((130, 16)).astype(np.float32)
+    mesh = make_mesh(sp, ds)
+    prep = prepare_spmm_2d(coo, mesh, scatter_output=True)
+    out = np.asarray(prep.mul(jnp.asarray(x)))
+    np.testing.assert_allclose(out, _dense_ref(coo, x), rtol=1e-4, atol=1e-4)
+
+
+def test_2d_scatter_output_hybrid(rng):
+    coo = random_coo(rng, nrows=90, ncols=90, nnz=900)
+    x = rng.standard_normal((90, 8)).astype(np.float32)
+    prep = prepare_spmm_2d(
+        coo, make_mesh(2, 2),
+        SpmmConfig(backend="hybrid", hybrid_k=24), scatter_output=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(prep.mul(jnp.asarray(x))), _dense_ref(coo, x),
+        rtol=1e-4, atol=1e-4,
+    )
