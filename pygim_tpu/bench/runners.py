@@ -61,7 +61,15 @@ def run_spmm_benchmark(
         prep = prepare_spmm_2d(graph, mesh, config)
     else:
         prep = prepare_spmm(graph, config or SpmmConfig())
-    rep.report("prepare_pim_time(ms)", (time.perf_counter() - t0) * 1e3)
+    prep_s = time.perf_counter() - t0
+    rep.report("prepare_pim_time(ms)", prep_s * 1e3)
+    # the reference's load_sparse_time: sparse operand movement to device
+    # memory. Here the device_put happens inside prepare (prepare-once);
+    # report the same number so parse_results' pim_time_dense derivation
+    # (pim_time_spmm − load_sparse_time) stays meaningful — and 0 for the
+    # run path, which never re-copies the sparse operand (SURVEY §7
+    # non-goal: grande's per-run re-copy).
+    rep.report("load_sparse_time(ms)", 0.0)
 
     dt = device_time(prep.mul, x, iters=repeat)
     rep.report("pim_time_spmm(ms)", dt * 1e3)
