@@ -9,17 +9,42 @@ both present (parse_results.py:52-60), and writes per-run rows plus an
 from __future__ import annotations
 
 import csv
+import dataclasses
+import re
 from pathlib import Path
 
 from pygim_tpu.utils.metrics import mean_data, parse_data_lines
 
 
+def _known_fields() -> list[str]:
+    from pygim_tpu.bench.experiment import Experiment
+
+    return [f.name for f in dataclasses.fields(Experiment)]
+
+
 def _params_from_name(stem: str) -> dict:
+    """Recover ``{field: value}`` from an ``Experiment.frozen_name`` stem.
+
+    Field names themselves contain underscores (``block_nnz_budget``), so a
+    naive ``split('_')`` mangles them; instead anchor on the known
+    Experiment field names (longest match wins) and take everything up to
+    the next ``_<field>-`` as the value."""
+    fields = sorted(_known_fields(), key=len, reverse=True)
+    pat = re.compile(
+        "(?:^|_)(" + "|".join(re.escape(f) for f in fields) + ")-"
+    )
+    hits = list(pat.finditer(stem))
+    if not hits:  # not a frozen_name — fall back to plain tokens
+        out = {}
+        for tok in stem.split("_"):
+            if "-" in tok:
+                k, v = tok.split("-", 1)
+                out[k] = v
+        return out
     out = {}
-    for tok in stem.split("_"):
-        if "-" in tok:
-            k, v = tok.split("-", 1)
-            out[k] = v
+    for i, m in enumerate(hits):
+        end = hits[i + 1].start() if i + 1 < len(hits) else len(stem)
+        out[m.group(1)] = stem[m.end() : end]
     return out
 
 

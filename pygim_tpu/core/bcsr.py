@@ -1,0 +1,206 @@
+"""BCSR middle tier planning: dense (Tr × 128) tiles in degree-rank space.
+
+The round-1 hybrid backend covers power-law graphs with a dense hub-core
+(top-K × top-K after degree ranking) plus an ELL gather tail. On graphs
+with a flatter degree distribution (ogbn-products-shaped), the core covers
+too few edges and the tail's per-edge gather cost (~7-10 ns/edge,
+issue-rate-bound — docs/PERF.md) dominates. This module adds the middle
+tier: the rank-permuted adjacency outside the core still has *locally
+dense* tiles, and a dense (Tr, 128) tile multiplied against a contiguous
+(128, H) panel of rank-permuted x amortizes ONE gather issue over 128
+rows (the gather engine moves (128, H) blocks at full HBM bandwidth when
+the slice is that big) and runs the FMAs on the MXU.
+
+This is the TPU answer to the reference's skew-robust nnz balancing
+(backend_pim/spmm_default/support/partition.c:51-99): instead of balancing
+scalar work over DPUs, reshape the mid-degree band into MXU-friendly
+dense tiles.
+
+Tile selection is marginal-cost based: a tile of ``c`` edges costs
+``Tr·128·itemsize  (tile read) + 128·H·4 (panel read) + Tr·H·4 (partial
+write)`` bytes of HBM traffic; it beats the ELL tail when that is below
+``c × edge_cost_bytes`` where ``edge_cost_bytes ≈ gather_ns × HBM_BW`` is
+the bandwidth-equivalent cost of one issue-bound gather. Qualifying tiles
+are taken densest-first until the byte budget is exhausted.
+
+Row blocks owning many tiles are split into virtual row blocks of exactly
+``S`` tiles (the ELL virtual-row trick one level up); partial products are
+merged by one sorted segment-sum over virtual row blocks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from pygim_tpu.core.graph import INDEX_DTYPE
+
+TILE_COLS = 128  # lane width; panel gather granularity
+
+# bandwidth-equivalent cost of one issue-bound single-row gather:
+# ~8 ns/edge (docs/PERF.md) at ~800 GB/s effective = ~6.4 KB per edge
+EDGE_COST_BYTES = 6400
+
+
+@dataclasses.dataclass(frozen=True)
+class BcsrTiles:
+    """Statically-shaped device tables for the tile tier.
+
+    ``tiles``        (n_vblocks, S, Tr, TILE_COLS) tile values (padding 0).
+    ``panel_idx``    (n_vblocks, S) int32 — panel table index per tile.
+    ``vblock_to_rb`` (n_vblocks,) int32 — compact row-block id per virtual
+                     block, non-decreasing (sorted segment-sum contract);
+                     padding targets the last block.
+    ``panel_nodes``  (n_panels · TILE_COLS,) int32 — ORIGINAL node ids to
+                     gather into the panel table (clamped at n-1 past the
+                     rank-space end; the matching tile entries are 0).
+    ``row_nodes``    (n_rb · Tr,) int32 — ORIGINAL node ids receiving each
+                     partial row (clamped likewise).
+    ``n_edges``      edges captured by the tier.
+    """
+
+    tiles: np.ndarray
+    panel_idx: np.ndarray
+    vblock_to_rb: np.ndarray
+    panel_nodes: np.ndarray
+    row_nodes: np.ndarray
+    tile_rows: int
+    tiles_per_vblock: int
+    n_edges: int
+
+
+def min_edges_per_tile(
+    tile_rows: int, hidden: int, itemsize: int = 2,
+    edge_cost_bytes: int = EDGE_COST_BYTES,
+) -> int:
+    """Marginal-analysis cutoff: smallest tile edge count at which the
+    dense tile beats the per-edge gather path."""
+    tile_bytes = (
+        tile_rows * TILE_COLS * itemsize        # tile read
+        + TILE_COLS * hidden * 4                # panel read
+        + tile_rows * hidden * 4                # partial write
+    )
+    return max(2, -(-tile_bytes // edge_cost_bytes))
+
+
+def _choose_tiles_per_vblock(tiles_per_rb: np.ndarray) -> int:
+    """Fixed tiles-per-virtual-block S minimizing padded tile slots
+    (same objective as choose_ell_degree, one level up)."""
+    best_s, best_cost = 1, float("inf")
+    for s in (1, 2, 4, 8, 16, 32):
+        cost = int((-(-tiles_per_rb // s)).sum()) * s
+        if cost < best_cost:
+            best_s, best_cost = s, cost
+    return best_s
+
+
+def build_bcsr_tiles(
+    rr: np.ndarray,
+    cc: np.ndarray,
+    vals: np.ndarray,
+    order: np.ndarray,
+    *,
+    n: int,
+    tile_rows: int,
+    budget_bytes: int,
+    hidden: int,
+    dtype: str = "bfloat16",
+    min_edges: int = 0,
+) -> tuple["BcsrTiles | None", np.ndarray]:
+    """Select + materialize tiles from edges given in RANK coordinates.
+
+    ``rr``/``cc``: degree-rank of each edge's destination/source node;
+    ``order``: rank → original node id. Returns ``(tiles, in_tile_mask)``
+    — ``tiles`` is None when no tile qualifies.
+    """
+    import ml_dtypes
+
+    itemsize = 2 if dtype == "bfloat16" else 4
+    if budget_bytes <= 0 or rr.size == 0:
+        return None, np.zeros(rr.shape[0], dtype=bool)
+    tr, tc = tile_rows, TILE_COLS
+    if min_edges <= 0:
+        min_edges = min_edges_per_tile(tr, hidden, itemsize)
+
+    ncb = -(-n // tc)
+    tid = (rr.astype(np.int64) // tr) * ncb + cc.astype(np.int64) // tc
+    utid, inv, counts = np.unique(tid, return_inverse=True, return_counts=True)
+
+    tile_bytes = tr * tc * itemsize
+    max_tiles = max(0, budget_bytes // tile_bytes)
+    qual = np.flatnonzero(counts >= min_edges)
+    if qual.size == 0 or max_tiles == 0:
+        return None, np.zeros(rr.shape[0], dtype=bool)
+    if qual.size > max_tiles:
+        # densest-first under the budget
+        top = np.argsort(-counts[qual], kind="stable")[:max_tiles]
+        qual = qual[top]
+    sel_mask_per_utid = np.zeros(utid.shape[0], dtype=bool)
+    sel_mask_per_utid[qual] = True
+    in_tile = sel_mask_per_utid[inv]
+
+    # ---- group selected tiles by row block, in (rb, cb) order ----
+    sel_tids = np.sort(utid[qual])
+    rb_all = sel_tids // ncb
+    cb_all = sel_tids % ncb
+    urb, tiles_per_rb = np.unique(rb_all, return_counts=True)
+    s = _choose_tiles_per_vblock(tiles_per_rb)
+    vb_per_rb = -(-tiles_per_rb // s)
+    n_vb = int(vb_per_rb.sum())
+
+    # tile j (within its rb) → vblock offset + j//s, slot j%s
+    vb_offset = np.zeros(urb.shape[0] + 1, dtype=np.int64)
+    np.cumsum(vb_per_rb, out=vb_offset[1:])
+    rb_of_tile = np.searchsorted(urb, rb_all)
+    j_in_rb = np.arange(sel_tids.shape[0]) - np.repeat(
+        np.concatenate(([0], np.cumsum(tiles_per_rb)[:-1])), tiles_per_rb
+    )
+    tile_vb = vb_offset[rb_of_tile] + j_in_rb // s
+    tile_slot = j_in_rb % s
+
+    # ---- panel table: unique col blocks ----
+    ucb = np.unique(cb_all)
+    panel_of_tile = np.searchsorted(ucb, cb_all)
+    panel_ranks = (
+        ucb[:, None] * tc + np.arange(tc, dtype=np.int64)[None, :]
+    ).reshape(-1)
+    panel_nodes = order[np.minimum(panel_ranks, n - 1)].astype(INDEX_DTYPE)
+
+    row_ranks = (
+        urb[:, None] * tr + np.arange(tr, dtype=np.int64)[None, :]
+    ).reshape(-1)
+    row_nodes = order[np.minimum(row_ranks, n - 1)].astype(INDEX_DTYPE)
+
+    # ---- materialize tiles (duplicate edges accumulated) ----
+    # map each selected edge to its flat position in the tiles array
+    e_tid = tid[in_tile]
+    e_pos_in_sel = np.searchsorted(sel_tids, e_tid)
+    e_flat = (
+        (tile_vb[e_pos_in_sel] * s + tile_slot[e_pos_in_sel]) * (tr * tc)
+        + (rr[in_tile].astype(np.int64) % tr) * tc
+        + cc[in_tile].astype(np.int64) % tc
+    )
+    uflat, uinv = np.unique(e_flat, return_inverse=True)
+    sums = np.bincount(
+        uinv, weights=vals[in_tile].astype(np.float64),
+        minlength=uflat.shape[0],
+    ).astype(np.float32)
+    np_dtype = ml_dtypes.bfloat16 if dtype == "bfloat16" else np.float32
+    tiles = np.zeros(n_vb * s * tr * tc, dtype=np_dtype)
+    tiles[uflat] = sums.astype(np_dtype)
+    tiles = tiles.reshape(n_vb, s, tr, tc)
+
+    panel_idx = np.zeros((n_vb, s), dtype=INDEX_DTYPE)
+    panel_idx[tile_vb, tile_slot] = panel_of_tile
+    vblock_to_rb = np.repeat(
+        np.arange(urb.shape[0], dtype=INDEX_DTYPE), vb_per_rb
+    )
+    return (
+        BcsrTiles(
+            tiles=tiles, panel_idx=panel_idx, vblock_to_rb=vblock_to_rb,
+            panel_nodes=panel_nodes, row_nodes=row_nodes,
+            tile_rows=tr, tiles_per_vblock=s, n_edges=int(in_tile.sum()),
+        ),
+        in_tile,
+    )

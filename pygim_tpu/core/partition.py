@@ -203,7 +203,9 @@ class EllRows:
 
     ``cols``/``vals``: (n_virtual_pad, D) — padding entries col 0 / val 0.
     ``vrow_to_row``: (n_virtual_pad,) destination row per virtual row
-    (padding targets row 0 with zero values — harmless).
+    (padding targets the LAST row, nrows-1, with zero values — harmless,
+    and keeps the array non-decreasing so ``indices_are_sorted=True``
+    holds in the consuming segment-sum).
     """
 
     cols: np.ndarray
@@ -282,7 +284,9 @@ def build_ell_rows(
 
     cols = np.zeros((n_virtual_pad, D), dtype=INDEX_DTYPE)
     vals = np.zeros((n_virtual_pad, D), dtype=csr.vals.dtype)
-    vrow_to_row = np.zeros(n_virtual_pad, dtype=INDEX_DTYPE)
+    vrow_to_row = np.full(
+        n_virtual_pad, max(csr.nrows - 1, 0), dtype=INDEX_DTYPE
+    )
     rows_of_nnz = np.repeat(np.arange(csr.nrows, dtype=np.int64), deg)
     pos_in_row = np.arange(csr.nnz, dtype=np.int64) - np.repeat(
         csr.rowptr[:-1].astype(np.int64), deg
@@ -308,7 +312,8 @@ class CooChunks:
     (no CG_LOCK/LOCKFREE variants needed under XLA, SURVEY.md §5.2).
 
     ``rows``/``cols``/``vals``: (n_chunks, chunk_nnz) padded; padding has
-    val 0 and row/col 0.
+    val 0, col 0, and row nrows-1 (keeps the per-chunk row stream sorted
+    for ``indices_are_sorted=True``).
     """
 
     rows: np.ndarray
@@ -327,7 +332,9 @@ def build_coo_chunks(
     chunk_nnz = round_up(max(-(-coo.nnz // n_chunks), 1), nnz_align)
     total = chunk_nnz * n_chunks
     pad = total - coo.nnz
-    rows = np.concatenate([s.rows, np.zeros(pad, dtype=INDEX_DTYPE)])
+    rows = np.concatenate(
+        [s.rows, np.full(pad, max(coo.nrows - 1, 0), dtype=INDEX_DTYPE)]
+    )
     cols = np.concatenate([s.cols, np.zeros(pad, dtype=INDEX_DTYPE)])
     vals = np.concatenate([s.vals, np.zeros(pad, dtype=s.vals.dtype)])
     return CooChunks(

@@ -61,10 +61,17 @@ class SpmmConfig:
                                      # for the auto degree chooser)
     interpret: bool = False          # pallas interpreter mode (tests)
     # hybrid backend: dense hub-core on the MXU + ELL tail via gather.
-    hybrid_k: Optional[int] = None         # core size (auto from budget)
+    hybrid_k: Optional[int] = None         # core size (auto from budget;
+                                           # 0 disables the dense core)
     hybrid_core_bytes: int = 4 << 30       # core memory budget
     hybrid_dtype: Optional[str] = None     # core dtype (None = vals dtype;
                                            # 'bfloat16' halves core traffic)
+    # hybrid BCSR middle tier: dense (bcsr_tile, 128) tiles in rank space
+    # between the core and the ELL tail (core/bcsr.py). 0 bytes = off.
+    bcsr_bytes: int = 0                    # tile-store budget
+    bcsr_tile: int = 32                    # tile rows Tr
+    bcsr_min_edges: int = 0                # edges/tile cutoff (0 = auto
+                                           # from the marginal model)
 
     def resolve_n_blocks(self, nnz: int) -> int:
         if self.n_blocks is not None:
@@ -120,6 +127,43 @@ def ell_scan_spmm(x, cols2d, vals2d, vrow_to_row, chunk, degree, nrows):
     return jax.ops.segment_sum(
         partial.reshape(-1, h), vrow_to_row,
         num_segments=nrows, indices_are_sorted=True,
+    )
+
+
+def bcsr_scan_spmm(x, panel_nodes, tiles, panel_idx, vblock_to_rb,
+                   n_rb: int, step: int):
+    """BCSR tile tier compute body (core/bcsr.py tables).
+
+    One panel-table gather amortizes each gather issue over a contiguous
+    (128, H) block of rank-permuted x; the per-step compute is one MXU
+    matmul (Tr, S·128) @ (S·128, H) per virtual row block; virtual blocks
+    merge by a sorted segment-sum. Returns (n_rb, Tr, H) partials in f32.
+    """
+    h = x.shape[1]
+    n_vb, s, tr, tc = tiles.shape
+    x_panels = jnp.take(x, panel_nodes, axis=0).reshape(-1, tc, h)
+    n_steps = n_vb // step
+    tiles_s = tiles.reshape(n_steps, step, s, tr, tc)
+    pidx_s = panel_idx.reshape(n_steps, step, s)
+    cdt = tiles.dtype
+
+    def body(_, blk):
+        t, pi = blk
+        # (step, s, tc, h) panel gather — 128-row blocks, bandwidth-bound
+        p = jnp.take(x_panels, pi.reshape(-1), axis=0).reshape(
+            step, s * tc, h
+        )
+        tt = t.transpose(0, 2, 1, 3).reshape(step, tr, s * tc)
+        out = jnp.einsum(
+            "brk,bkh->brh", tt, p.astype(cdt),
+            preferred_element_type=jnp.float32,
+        )
+        return None, out
+
+    _, partial = jax.lax.scan(body, None, (tiles_s, pidx_s))
+    return jax.ops.segment_sum(
+        partial.reshape(n_vb, tr, h), vblock_to_rb,
+        num_segments=n_rb, indices_are_sorted=True,
     )
 
 
@@ -255,11 +299,19 @@ class PreparedSpmm:
         )
         h = hashlib.sha256()
         h.update(np.asarray([coo.nrows, coo.nnz]).tobytes())
-        h.update(coo.rows[:: max(1, coo.nnz // 64)].tobytes())
+        stride = max(1, coo.nnz // 64)
+        # structure AND values: two graphs with identical sparsity but
+        # different edge weights (raw vs gcn_norm'd) must not collide.
+        h.update(coo.rows[::stride].tobytes())
+        h.update(coo.cols[::stride].tobytes())
+        h.update(np.ascontiguousarray(coo.vals[::stride]).tobytes())
+        h.update(str(coo.vals.dtype).encode())
         h.update(
             f"{config.hybrid_k}-{config.hybrid_core_bytes}-"
             f"{config.hybrid_dtype}-{config.ell_degree}-"
-            f"{config.block_nnz_budget}".encode()
+            f"{config.block_nnz_budget}-{config.bcsr_bytes}-"
+            f"{config.bcsr_tile}-{config.bcsr_min_edges}-"
+            f"{config.hidden_hint}".encode()
         )
         cache_path = cache_dir / f"hybrid-{h.hexdigest()[:16]}.npz"
         host = None
@@ -281,18 +333,36 @@ class PreparedSpmm:
         self.hybrid_k_eff = int(host["k"])
         self.ell_degree = int(host["degree"])
         self.row_chunk = int(host["chunk"])
-        core = host["core"]
-        if str(host["core_dtype"]) == "bfloat16":
-            import ml_dtypes
-
-            core = core.view(ml_dtypes.bfloat16)
         self._dev = {
-            "core": jnp.asarray(core),
-            "core_nodes": jnp.asarray(host["core_nodes"]),
             "cols2d": jnp.asarray(host["cols2d"]),
             "vals2d": jnp.asarray(host["vals2d"]),
             "vrow_to_row": jnp.asarray(host["vrow_to_row"]),
         }
+        if self.hybrid_k_eff > 0:
+            core = host["core"]
+            if str(host["core_dtype"]) == "bfloat16":
+                import ml_dtypes
+
+                core = core.view(ml_dtypes.bfloat16)
+            self._dev["core"] = jnp.asarray(core)
+            self._dev["core_nodes"] = jnp.asarray(host["core_nodes"])
+        self.has_bcsr = "bcsr_tiles" in host
+        if self.has_bcsr:
+            tiles = host["bcsr_tiles"]
+            if str(host["bcsr_dtype"]) == "bfloat16":
+                import ml_dtypes
+
+                tiles = tiles.view(ml_dtypes.bfloat16)
+            self.bcsr_step = int(host["bcsr_step"])
+            self.bcsr_n_rb = int(host["bcsr_n_rb"])
+            self.bcsr_edges = int(host["bcsr_edges"])
+            self._dev.update(
+                tiles=jnp.asarray(tiles),
+                panel_idx=jnp.asarray(host["bcsr_panel_idx"]),
+                vblock_to_rb=jnp.asarray(host["bcsr_vblock_to_rb"]),
+                panel_nodes=jnp.asarray(host["bcsr_panel_nodes"]),
+                row_nodes=jnp.asarray(host["bcsr_row_nodes"]),
+            )
 
     def _prepare_hybrid_build(self, coo, config: SpmmConfig):
         from pygim_tpu.core.partition import choose_ell_degree
@@ -307,7 +377,9 @@ class PreparedSpmm:
         core_dtype = config.hybrid_dtype or str(coo.vals.dtype)
         itemsize = 2 if core_dtype == "bfloat16" else np.dtype(core_dtype).itemsize
         if config.hybrid_k is not None:
-            k = max(1, min(config.hybrid_k, n))
+            k = max(0, min(config.hybrid_k, n))
+        elif config.hybrid_core_bytes <= 0:
+            k = 0
         else:
             k = int(np.sqrt(config.hybrid_core_bytes / itemsize))
             k = (k // 256) * 256
@@ -316,30 +388,93 @@ class PreparedSpmm:
 
         from pygim_tpu.core import native
 
-        filled = native.core_fill_native(
-            coo.rows, coo.cols, coo.vals.astype(np.float32), rank, k
-        )
-        if filled is not None:
-            dense, tail_mask = filled
-            in_core = ~tail_mask
+        dense = None
+        if k == 0:
+            in_core = np.zeros(coo.nnz, dtype=bool)
         else:
-            rr = rank[coo.rows]
-            cc = rank[coo.cols]
-            in_core = (rr < k) & (cc < k)
-            flat = rr[in_core].astype(np.int64) * k + cc[in_core]
-            dense = np.bincount(
-                flat, weights=coo.vals[in_core].astype(np.float64),
-                minlength=k * k,
-            ).reshape(k, k).astype(np.float32)
-        if core_dtype == "bfloat16":
-            dense = native.f32_to_bf16_bits(dense).reshape(k, k)
+            filled = native.core_fill_native(
+                coo.rows, coo.cols, coo.vals.astype(np.float32), rank, k
+            )
+            if filled is not None:
+                dense, tail_mask = filled
+                in_core = ~tail_mask
+            else:
+                rr = rank[coo.rows]
+                cc = rank[coo.cols]
+                in_core = (rr < k) & (cc < k)
+                flat = rr[in_core].astype(np.int64) * k + cc[in_core]
+                dense = np.bincount(
+                    flat, weights=coo.vals[in_core].astype(np.float64),
+                    minlength=k * k,
+                ).reshape(k, k).astype(np.float32)
+            if core_dtype == "bfloat16":
+                dense = native.f32_to_bf16_bits(dense).reshape(k, k)
+
+        host: dict = {"k": np.int64(k), "core_dtype": np.str_(core_dtype)}
+        if k > 0:
+            core_store = dense
+            if core_dtype == "bfloat16":
+                core_store = dense.view(np.uint16)
+            host["core"] = core_store
+            host["core_nodes"] = order[:k]  # rank i ↔ node order[i]
+
+        # middle tier: dense (Tr, 128) tiles in rank space (core/bcsr.py)
+        tail_sel = ~in_core
+        if config.bcsr_bytes > 0:
+            from pygim_tpu.core.bcsr import build_bcsr_tiles
+
+            t_idx = np.flatnonzero(tail_sel)
+            bc, in_tile = build_bcsr_tiles(
+                rank[coo.rows[t_idx]], rank[coo.cols[t_idx]],
+                coo.vals[t_idx], order, n=n,
+                tile_rows=config.bcsr_tile,
+                budget_bytes=config.bcsr_bytes,
+                hidden=config.hidden_hint,
+                dtype="bfloat16" if core_dtype == "bfloat16" else "float32",
+                min_edges=config.bcsr_min_edges,
+            )
+            if bc is not None:
+                tail_sel = tail_sel.copy()
+                tail_sel[t_idx[in_tile]] = False
+                s, tr = bc.tiles_per_vblock, bc.tile_rows
+                # pad vblocks to a scan-step multiple (~8 MB panel gather
+                # per step); pad vblocks point at panel 0 with zero tiles
+                # and target the last row block (sorted contract)
+                step = max(1, (8 << 20) // max(
+                    1, s * 128 * config.hidden_hint * 4
+                ))
+                n_vb = bc.tiles.shape[0]
+                step = min(step, max(1, n_vb))
+                n_vb_pad = round_up(n_vb, step)
+                n_rb = bc.row_nodes.shape[0] // tr
+                tiles = np.zeros(
+                    (n_vb_pad,) + bc.tiles.shape[1:], dtype=bc.tiles.dtype
+                )
+                tiles[:n_vb] = bc.tiles
+                panel_idx = np.zeros((n_vb_pad, s), dtype=np.int32)
+                panel_idx[:n_vb] = bc.panel_idx
+                vb_to_rb = np.full(n_vb_pad, n_rb - 1, dtype=np.int32)
+                vb_to_rb[:n_vb] = bc.vblock_to_rb
+                bdt = str(bc.tiles.dtype)
+                host.update(
+                    bcsr_tiles=tiles.view(np.uint16)
+                    if bdt == "bfloat16" else tiles,
+                    bcsr_dtype=np.str_(bdt),
+                    bcsr_panel_idx=panel_idx,
+                    bcsr_vblock_to_rb=vb_to_rb,
+                    bcsr_panel_nodes=bc.panel_nodes,
+                    bcsr_row_nodes=bc.row_nodes,
+                    bcsr_step=np.int64(step),
+                    bcsr_n_rb=np.int64(n_rb),
+                    bcsr_edges=np.int64(bc.n_edges),
+                )
 
         # tail stays in ORIGINAL node ids — no full-graph permutation at
-        # run time; only the core touches the ranking (a k-row gather of x
-        # and a k-row scatter-add of the core product).
+        # run time; only the core/tile tiers touch the ranking (bounded
+        # gathers of x rows and scatter-adds of their products).
         tail = CooGraph(
-            rows=coo.rows[~in_core], cols=coo.cols[~in_core],
-            vals=coo.vals[~in_core], nrows=n, ncols=n,
+            rows=coo.rows[tail_sel], cols=coo.cols[tail_sel],
+            vals=coo.vals[tail_sel], nrows=n, ncols=n,
         )
         tail_csr = tail.to_csr()
         degree = config.ell_degree or choose_ell_degree(
@@ -349,20 +484,14 @@ class PreparedSpmm:
             max(1, config.block_nnz_budget // degree), 8
         ))
         ell = build_ell_rows(tail_csr, degree, row_chunk=chunk)
-        core_store = dense
-        if core_dtype == "bfloat16":
-            core_store = dense.view(np.uint16)
-        return {
-            "k": np.int64(k),
-            "degree": np.int64(ell.degree),
-            "chunk": np.int64(chunk),
-            "core": core_store,
-            "core_dtype": np.str_(core_dtype),
-            "core_nodes": order[:k],  # rank i ↔ node order[i]
-            "cols2d": ell.cols,
-            "vals2d": ell.vals,
-            "vrow_to_row": ell.vrow_to_row,
-        }
+        host.update(
+            degree=np.int64(ell.degree),
+            chunk=np.int64(chunk),
+            cols2d=ell.cols,
+            vals2d=ell.vals,
+            vrow_to_row=ell.vrow_to_row,
+        )
+        return host
 
     def mul(self, x):
         """out = A @ x. ``x``: (ncols, H) device array. Matches
@@ -413,18 +542,33 @@ def _make_run(backend: str, prep: PreparedSpmm):
     if backend == "hybrid":
         chunk = prep.row_chunk
         degree = prep.ell_degree
-        k = prep.hybrid_k_eff
+        has_core = prep.hybrid_k_eff > 0
+        has_bcsr = getattr(prep, "has_bcsr", False)
+        if has_bcsr:
+            b_step, b_n_rb = prep.bcsr_step, prep.bcsr_n_rb
 
-        def run(x, core, core_nodes, cols2d, vals2d, vrow_to_row):
+        def run(x, cols2d, vals2d, vrow_to_row, core=None, core_nodes=None,
+                tiles=None, panel_idx=None, vblock_to_rb=None,
+                panel_nodes=None, row_nodes=None):
             acc = accum_dtype(jnp.result_type(jnp.float32, x.dtype))
-            tail_out = ell_scan_spmm(
+            out = ell_scan_spmm(
                 x, cols2d, vals2d, vrow_to_row, chunk, degree, nrows
             )
-            x_core = jnp.take(x, core_nodes, axis=0).astype(core.dtype)
-            core_out = jnp.dot(core, x_core, preferred_element_type=acc)
-            return tail_out.at[core_nodes].add(
-                core_out.astype(tail_out.dtype)
-            )
+            if has_core:
+                x_core = jnp.take(x, core_nodes, axis=0).astype(core.dtype)
+                core_out = jnp.dot(
+                    core, x_core, preferred_element_type=acc
+                )
+                out = out.at[core_nodes].add(core_out.astype(out.dtype))
+            if has_bcsr:
+                b = bcsr_scan_spmm(
+                    x, panel_nodes, tiles, panel_idx, vblock_to_rb,
+                    b_n_rb, b_step,
+                )
+                out = out.at[row_nodes].add(
+                    b.reshape(-1, x.shape[1]).astype(out.dtype)
+                )
+            return out
         return run
 
     if backend == "coo":

@@ -75,12 +75,17 @@ class PreparedSpmmHalo:
         # --- host-side partition: rows (and x rows) by contiguous range ---
         parts: list[CsrGraph] = []
         bounds = [
-            (d * self.rows_per_dev, min((d + 1) * self.rows_per_dev, csr.nrows))
+            (min(d * self.rows_per_dev, csr.nrows),
+             min((d + 1) * self.rows_per_dev, csr.nrows))
             for d in range(nd)
         ]
         for lo, hi in bounds:
-            e0, e1 = int(csr.rowptr[lo]), int(csr.rowptr[hi]) if hi > lo else (0, 0)
+            # trailing devices may own zero real rows (hi == lo): empty part
+            (e0, e1) = (int(csr.rowptr[lo]), int(csr.rowptr[hi])) \
+                if hi > lo else (0, 0)
             rowptr = csr.rowptr[lo : hi + 1] - csr.rowptr[lo]
+            if rowptr.size == 0:
+                rowptr = np.zeros(1, dtype=csr.rowptr.dtype)
             rowptr = np.concatenate(
                 [rowptr, np.full(self.rows_per_dev - (hi - lo), rowptr[-1],
                                  dtype=rowptr.dtype)]
@@ -115,11 +120,14 @@ class PreparedSpmmHalo:
         ells = [build_ell_rows(p, degree, row_chunk=chunk) for p in parts]
         nvr_pad = round_up(max(e.cols.shape[0] for e in ells), chunk)
 
-        def pad_part(a):
-            out = np.zeros((nvr_pad,) + a.shape[1:], dtype=a.dtype)
+        def pad_part(a, fill=0):
+            out = np.full((nvr_pad,) + a.shape[1:], fill, dtype=a.dtype)
             out[: a.shape[0]] = a
             return out
 
+        # vrow padding targets the last local row (keeps indices sorted
+        # for the segment-sum); padded vals are 0 so the add is harmless
+        vfill = max(self.rows_per_dev - 1, 0)
         self.ell_degree, self.row_chunk = degree, chunk
         sh = NamedSharding(self.mesh, P("nodes"))
         return {
@@ -130,7 +138,7 @@ class PreparedSpmmHalo:
                 np.stack([pad_part(e.vals) for e in ells]), sh
             ),
             "vrow_to_row": jax.device_put(
-                np.stack([pad_part(e.vrow_to_row) for e in ells]), sh
+                np.stack([pad_part(e.vrow_to_row, vfill) for e in ells]), sh
             ),
         }
 

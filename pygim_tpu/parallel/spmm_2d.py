@@ -84,7 +84,8 @@ class PreparedSpmm2D:
         # the fastest gather-engine path measured — docs/PERF.md), with one
         # static shape across all sp parts: shared degree D and chunk,
         # virtual-row dim padded to the max over parts (pad rows have
-        # val 0 / vrow 0 — harmless additions to row 0).
+        # val 0 / vrow nrows-1 — harmless additions that keep the segment
+        # stream sorted).
         degree = config.ell_degree or choose_ell_degree(
             csr.row_lengths, hidden=config.hidden_hint
         )
@@ -111,7 +112,10 @@ class PreparedSpmm2D:
                 np.stack([pad_part(e.vals) for e in ells]), sharded
             ),
             "vrow_to_row": jax.device_put(
-                np.stack([pad_part(e.vrow_to_row) for e in ells]), sharded
+                np.stack([
+                    pad_part(e.vrow_to_row, fill=max(self.nrows - 1, 0))
+                    for e in ells
+                ]), sharded
             ),
         }
         self._x_sharding = NamedSharding(mesh, P("sp", "ds"))
@@ -139,8 +143,26 @@ class PreparedSpmm2D:
             k = min(max((k // 256) * 256, min(256, n)), n)
         self.hybrid_k_eff = k
 
+        # Part s's edges have source (col) nodes in shard s's x range, so
+        # their core columns are exactly the ranked nodes shard s owns —
+        # each shard's (k, k_col_pad) slice is built independently and cast
+        # to the core dtype before the next is touched (one f32 scratch
+        # slice of host RAM, never the full (k, k) dense core).
         w = self.ncols_pad // sp
-        dense = np.zeros((k, k), dtype=np.float32)
+        owner = order[:k] // w  # shard owning each ranked node's x row
+        k_col_pad = max(8, int(np.bincount(owner, minlength=sp).max()))
+        # rank -> position within its shard's column slice
+        pos_in_shard = np.zeros(k, dtype=np.int64)
+        sels = []
+        for s in range(sp):
+            sel = np.flatnonzero(owner == s)
+            pos_in_shard[sel] = np.arange(sel.size)
+            sels.append(sel)
+        np_core = (
+            ml_dtypes.bfloat16 if core_dtype == "bfloat16" else np.float32
+        )
+        cores = np.zeros((sp, k, k_col_pad), dtype=np_core)
+        core_rows = np.zeros((sp, k_col_pad), dtype=np.int32)
         for s, p in enumerate(parts):
             lo = s * w
             rows_of = np.repeat(
@@ -150,8 +172,12 @@ class PreparedSpmm2D:
             cc_global = p.colind.astype(np.int64) + lo
             cc = rank[np.minimum(cc_global, n - 1)]
             in_core = (rr < k) & (cc < k) & (cc_global < n)
-            np.add.at(dense, (rr[in_core], cc[in_core]),
+            slab = np.zeros((k, k_col_pad), dtype=np.float32)
+            np.add.at(slab, (rr[in_core], pos_in_shard[cc[in_core]]),
                       p.vals[in_core].astype(np.float32))
+            cores[s] = slab.astype(np_core)
+            del slab
+            core_rows[s, : sels[s].size] = order[:k][sels[s]] - lo
             # strip core edges from the tail part (rebuild CSR)
             keep = ~in_core
             counts = np.bincount(rows_of[keep], minlength=p.nrows)
@@ -161,18 +187,6 @@ class PreparedSpmm2D:
                 rowptr=rowptr, colind=p.colind[keep], vals=p.vals[keep],
                 ncols=p.ncols,
             )
-
-        # per-shard column slices of the core, padded to a common width
-        owner = order[:k] // w  # shard owning each ranked node's x row
-        k_col_pad = max(8, int(np.bincount(owner, minlength=sp).max()))
-        cores = np.zeros((sp, k, k_col_pad), dtype=np.float32)
-        core_rows = np.zeros((sp, k_col_pad), dtype=np.int32)
-        for s in range(sp):
-            sel = np.flatnonzero(owner == s)
-            cores[s, :, : sel.size] = dense[:, sel]
-            core_rows[s, : sel.size] = order[:k][sel] - s * w
-        if core_dtype == "bfloat16":
-            cores = cores.astype(ml_dtypes.bfloat16)
         sharded = NamedSharding(self.mesh, P("sp"))
         self._core_dev = {
             "core": jax.device_put(cores, sharded),

@@ -73,3 +73,16 @@ def test_halo_prepare_once_run_many(rng):
             np.asarray(prep.mul(jnp.asarray(x))), _dense_ref(coo, x),
             rtol=1e-4, atol=1e-4,
         )
+
+
+@pytest.mark.parametrize("exchange", ["all_gather", "all_to_all"])
+def test_halo_trailing_empty_shards(rng, exchange):
+    """nrows so small some devices own zero rows (regression: prepare
+    crashed on the empty-shard rowptr slice)."""
+    coo = random_coo(rng, nrows=6, ncols=6, nnz=20)
+    x = rng.standard_normal((6, 8)).astype(np.float32)
+    prep = prepare_spmm_halo(
+        coo, make_node_mesh(4), SpmmConfig(n_blocks=1), exchange=exchange
+    )
+    out = np.asarray(prep.mul(jnp.asarray(x)))
+    np.testing.assert_allclose(out, _dense_ref(coo, x), rtol=1e-4, atol=1e-4)

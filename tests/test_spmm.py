@@ -233,3 +233,120 @@ def test_hybrid_prepare_cache(rng, tmp_path, monkeypatch):
     out2 = np.asarray(p2.mul(x))
     np.testing.assert_allclose(out1, out2, rtol=1e-6)
     np.testing.assert_allclose(out2, _dense_ref(coo, x), rtol=1e-4, atol=1e-4)
+
+
+def test_hybrid_cache_distinguishes_values(rng, tmp_path, monkeypatch):
+    """Same sparsity, different edge values → different hybrid prepare
+    (regression: the disk-cache fingerprint once hashed structure only)."""
+    monkeypatch.setenv("PYGIM_TPU_DATA", str(tmp_path))
+    coo = random_coo(rng, nrows=200, ncols=200, nnz=3000)
+    import dataclasses
+
+    coo2 = dataclasses.replace(coo, vals=(coo.vals * 3.0).astype(np.float32))
+    x = rng.standard_normal((200, 16)).astype(np.float32)
+    cfg = SpmmConfig(backend="hybrid", hybrid_k=64)
+    out1 = np.asarray(prepare_spmm(coo, cfg).mul(x))
+    out2 = np.asarray(prepare_spmm(coo2, cfg).mul(x))
+    np.testing.assert_allclose(out1, _dense_ref(coo, x), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(out2, _dense_ref(coo2, x), rtol=1e-4, atol=1e-4)
+
+
+class TestBcsrTier:
+    """Hybrid BCSR middle tier (core/bcsr.py): dense (Tr,128) rank-space
+    tiles between the hub core and the ELL tail."""
+
+    def _mid_degree_coo(self, rng, n=512, deg=24):
+        # flat-ish degree distribution: every node has ~deg neighbors
+        # drawn from a small locality window → dense rank-space tiles.
+        rows = np.repeat(np.arange(n), deg)
+        cols = (rows + rng.integers(0, 64, size=rows.size)) % n
+        vals = rng.standard_normal(rows.size).astype(np.float32)
+        from pygim_tpu.core.graph import CooGraph
+
+        return CooGraph(
+            rows=rows.astype(np.int32), cols=cols.astype(np.int32),
+            vals=vals, nrows=n, ncols=n,
+        )
+
+    def test_bcsr_matches_dense(self, rng):
+        coo = self._mid_degree_coo(rng)
+        x = rng.standard_normal((coo.ncols, 16)).astype(np.float32)
+        cfg = SpmmConfig(
+            backend="hybrid", hybrid_k=0, bcsr_bytes=64 << 20,
+            bcsr_tile=8, bcsr_min_edges=4, hidden_hint=16,
+        )
+        prep = prepare_spmm(coo, cfg)
+        assert prep.has_bcsr and prep.bcsr_edges > 0
+        np.testing.assert_allclose(
+            np.asarray(prep.mul(x)), _dense_ref(coo, x),
+            rtol=1e-4, atol=1e-4,
+        )
+
+    def test_bcsr_with_core_and_tail(self, rng):
+        # all three tiers live: hubs → core, mid band → tiles, rest → ell
+        coo = self._mid_degree_coo(rng, n=400, deg=12)
+        # add heavy hubs
+        hub_rows = np.repeat(np.arange(8), 200)
+        hub_cols = rng.integers(0, 400, size=hub_rows.size)
+        import dataclasses
+
+        from pygim_tpu.core.graph import CooGraph
+
+        coo = CooGraph(
+            rows=np.concatenate([coo.rows, hub_rows.astype(np.int32)]),
+            cols=np.concatenate([coo.cols, hub_cols.astype(np.int32)]),
+            vals=np.concatenate(
+                [coo.vals,
+                 rng.standard_normal(hub_rows.size).astype(np.float32)]
+            ),
+            nrows=400, ncols=400,
+        )
+        x = rng.standard_normal((400, 16)).astype(np.float32)
+        cfg = SpmmConfig(
+            backend="hybrid", hybrid_k=64, bcsr_bytes=16 << 20,
+            bcsr_tile=8, bcsr_min_edges=3, hidden_hint=16,
+        )
+        prep = prepare_spmm(coo, cfg)
+        assert prep.hybrid_k_eff == 64 and prep.has_bcsr
+        np.testing.assert_allclose(
+            np.asarray(prep.mul(x)), _dense_ref(coo, x),
+            rtol=1e-4, atol=1e-4,
+        )
+
+    def test_bcsr_bf16_tiles(self, rng):
+        coo = self._mid_degree_coo(rng, n=256, deg=16)
+        x = rng.standard_normal((256, 8)).astype(np.float32)
+        cfg = SpmmConfig(
+            backend="hybrid", hybrid_k=0, hybrid_dtype="bfloat16",
+            bcsr_bytes=32 << 20, bcsr_tile=8, bcsr_min_edges=4,
+            hidden_hint=8,
+        )
+        prep = prepare_spmm(coo, cfg)
+        assert prep.has_bcsr
+        np.testing.assert_allclose(
+            np.asarray(prep.mul(x)), _dense_ref(coo, x),
+            rtol=3e-2, atol=3e-2,
+        )
+
+    def test_bcsr_off_when_no_tile_qualifies(self, rng):
+        # ultra-sparse scatter: no tile reaches min_edges
+        coo = random_coo(rng, nrows=300, ncols=300, nnz=400)
+        cfg = SpmmConfig(
+            backend="hybrid", hybrid_k=32, bcsr_bytes=1 << 20,
+            bcsr_tile=8, bcsr_min_edges=50, hidden_hint=8,
+        )
+        prep = prepare_spmm(coo, cfg)
+        assert not prep.has_bcsr
+        x = rng.standard_normal((300, 8)).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(prep.mul(x)), _dense_ref(coo, x),
+            rtol=1e-4, atol=1e-4,
+        )
+
+    def test_min_edges_per_tile_model(self):
+        from pygim_tpu.core.bcsr import min_edges_per_tile
+
+        # bigger hidden → pricier panel read → higher cutoff
+        assert min_edges_per_tile(8, 256) > min_edges_per_tile(8, 32)
+        # bf16 tiles cheaper than f32
+        assert min_edges_per_tile(32, 256, 2) <= min_edges_per_tile(32, 256, 4)
