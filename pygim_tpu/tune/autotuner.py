@@ -6,14 +6,22 @@ with an analytical cost model fed by a native measurement op
 
 * :func:`plan_statistics` IS that measurement op, implemented for real as a
   pure planner statistic (needs no hardware): per-candidate byte/row/nnz
-  counters derived from the partition plan.
+  counters derived from the partition plan — now per *device*, for any
+  :class:`~pygim_tpu.tune.dist.DistPlan` (single / 2d sp×ds / halo).
 * ``mode='model'`` ranks candidates with the TPU roofline cost model.
-* ``mode='measure'`` compiles and times each candidate on the device —
-  affordable on TPU because configs are runtime parameters, not per-config
-  ``.so`` builds (SURVEY.md §5.6).
+* ``mode='measure'`` calibrates the model constants on first use
+  (:func:`pygim_tpu.tune.cost_model.measure_constants`), then compiles and
+  times the top predicted candidates on the device — affordable on TPU
+  because configs are runtime parameters, not per-config ``.so`` builds
+  (SURVEY.md §5.6).
 
-Results are cached per (graph fingerprint, hidden, dtype) the way the
-reference keys its builds by frozen params (experiment.py:214-234).
+The search covers BOTH the reference tuner's axes (the distribution:
+sp×ds grid shape, halo exchange strategy, scatter_output —
+utils/autotuner.py:259-343) and the backend knobs that only exist here
+(hybrid core budget/dtype, ELL degree, nnz balance).
+
+Results are cached per (graph fingerprint, hidden, devices, mode) the way
+the reference keys its builds by frozen params (experiment.py:214-234).
 """
 
 from __future__ import annotations
@@ -31,6 +39,7 @@ from pygim_tpu.core.graph import CsrGraph
 from pygim_tpu.core.partition import make_row_block_plan
 from pygim_tpu.ops.spmm import SpmmConfig
 from pygim_tpu.tune.cost_model import TpuCostModel, predict_spmm_time
+from pygim_tpu.tune.dist import DistPlan, enumerate_dist, halo_statistics
 from pygim_tpu.tune.space import For, Space
 
 _CACHE_DIR = Path(
@@ -41,11 +50,22 @@ _CACHE_DIR = Path(
 )
 
 # default search space — the TPU analog of the reference's
-# sp_ds_set=[(1,32),(2,16)] × blnc_set=[0,2] (autotuner.py:259-261)
+# sp_ds_set=[(1,32),(2,16)] × blnc_set=[0,2] (autotuner.py:259-261);
+# the sp×ds axis itself lives in enumerate_dist (tune/dist.py)
 DEFAULT_SPACE = (
     For("balance", ["nnz", "row"])
     * For("block_nnz_budget", [1 << 15, 1 << 17, 1 << 19])
     * For("backend", ["blocked", "ell", "hybrid"])
+)
+
+# hybrid-knob extension: core budget × core dtype (the measured winner on
+# hub-heavy graphs is a big bf16 core — docs/PERF.md); pruned by the
+# hbm_budget_bytes cap in autotune().
+HYBRID_SPACE = (
+    For("backend", ["hybrid"])
+    * For("hybrid_core_bytes", [1 << 30, 4 << 30, 8 << 30, 12 << 30])
+    * For("hybrid_dtype", [None, "bfloat16"])
+    * For("balance", ["nnz"])
 )
 
 
@@ -56,74 +76,150 @@ def plan_statistics(
     sp: int = 1,
     ds: int = 1,
     dtype_bytes: int = 4,
+    plan: Optional[DistPlan] = None,
+    halo_stats: Optional[dict] = None,
+    _memo: Optional[dict] = None,
 ) -> dict:
-    """Per-candidate counters — the re-implemented ``prepare_tune_csr``
+    """Per-device counters — the re-implemented ``prepare_tune_csr``
     (autotuner.py:295-302 expected ``[load_bytes, retrieve_bytes,
     merge_rows, max_nnz_per_dpu, max_nnz_per_tasklet, nr_dpus, read_cnt,
-    write_cnt]``; these are the TPU-meaningful equivalents)."""
+    write_cnt]``; these are the TPU-meaningful equivalents).
+
+    All byte counters are PER DEVICE (execution time = the max device =
+    any device, since the plans are balanced); ``psum_bytes`` is the
+    per-device ICI volume of the plan's collective.
+    ``_memo`` caches graph-level intermediates (degree rank) across the
+    candidate loop of one :func:`autotune` call.
+    """
+    if plan is None:
+        plan = (
+            DistPlan()
+            if sp * ds == 1
+            else DistPlan("2d", sp, ds)
+        )
+    sp, ds = plan.sp, plan.ds
+    memo = _memo if _memo is not None else {}
     h_local = -(-hidden // ds)
-    nnz_local = csr.nnz // sp  # expectation per column part
-    nb = config.resolve_n_blocks(max(1, nnz_local))
-    plan = make_row_block_plan(csr, nb, balance=config.balance)
+    nb = config.resolve_n_blocks(max(1, csr.nnz // max(1, sp)))
+    plan_rb = memo.get(("rbplan", nb, config.balance))
+    if plan_rb is None:
+        plan_rb = make_row_block_plan(csr, nb, balance=config.balance)
+        memo[("rbplan", nb, config.balance)] = plan_rb
     nnz_per_block = (
-        csr.rowptr[plan.bounds[1:]] - csr.rowptr[plan.bounds[:-1]]
+        csr.rowptr[plan_rb.bounds[1:]] - csr.rowptr[plan_rb.bounds[:-1]]
     )
     core_bytes = 0
     if config.backend in ("ell", "hybrid"):
         from pygim_tpu.core.partition import choose_ell_degree
 
-        deg = np.diff(csr.rowptr).astype(np.int64)
-        tail_nnz = csr.nnz
+        if "deg" not in memo:
+            memo["deg"] = np.diff(csr.rowptr).astype(np.int64)
+        deg = memo["deg"]
         if config.backend == "hybrid":
-            # hub-core coverage estimate: degree-ranked top-k × top-k
+            # hub-core coverage estimate: degree-ranked top-k × top-k;
+            # a 2d plan column-shards the core, so the same per-device
+            # budget buys a √sp-larger core (parallel/spmm_2d.py:142)
             itemsize = 2 if config.hybrid_dtype == "bfloat16" else dtype_bytes
+            budget_eff = config.hybrid_core_bytes * max(1, sp)
             k = config.hybrid_k or min(
                 csr.nrows,
-                (int(np.sqrt(config.hybrid_core_bytes / itemsize)) // 256)
-                * 256,
+                (int(np.sqrt(budget_eff / itemsize)) // 256) * 256,
             )
-            total_deg = deg + np.bincount(
-                csr.colind, minlength=csr.ncols
-            )[: csr.nrows]
-            rank = np.empty(csr.nrows, dtype=np.int64)
-            rank[np.argsort(-total_deg)] = np.arange(csr.nrows)
-            rows_of = np.repeat(np.arange(csr.nrows, dtype=np.int64), deg)
+            if "rank" not in memo:
+                total_deg = deg + np.bincount(
+                    csr.colind, minlength=csr.ncols
+                )[: csr.nrows]
+                rank = np.empty(csr.nrows, dtype=np.int64)
+                rank[np.argsort(-total_deg)] = np.arange(csr.nrows)
+                memo["rank"] = rank
+                memo["rows_of"] = np.repeat(
+                    np.arange(csr.nrows, dtype=np.int64), deg
+                )
+            rank, rows_of = memo["rank"], memo["rows_of"]
             in_core = (rank[rows_of] < k) & (rank[csr.colind] < k)
             tail_nnz = int((~in_core).sum())
-            core_bytes = k * k * itemsize
-            deg = np.bincount(
-                rows_of[~in_core], minlength=csr.nrows
-            ).astype(np.int64)
+            core_bytes = k * k * itemsize // max(1, sp)  # per device
+            tail_deg = memo.get(("tail_deg", k))
+            if tail_deg is None:
+                tail_deg = np.bincount(
+                    rows_of[~in_core], minlength=csr.nrows
+                ).astype(np.int64)
+                memo[("tail_deg", k)] = tail_deg
+            deg = tail_deg
         D = config.ell_degree or choose_ell_degree(deg, hidden=hidden)
         n_vr = -(-deg[deg > 0] // D)
         padded_nnz = int(n_vr.sum() * D)
         # merge of virtual rows: one write + one scattered read per vrow
         scatter_bytes = 2 * int(n_vr.sum()) * h_local * dtype_bytes
     else:
-        padded_nnz = nb * plan.nnz_pad
+        padded_nnz = nb * plan_rb.nnz_pad
         # blocked/coo materialize the gathered contribution then
         # scatter-read it in the segment-sum (the measured amplification)
         scatter_bytes = 2 * padded_nnz * h_local * dtype_bytes
+
+    # ---- per-device scaling: both the 2d col-split and the halo row
+    # split divide edges ~evenly over sp devices ----
+    nnz_dev = padded_nnz // max(1, sp)
+    scatter_dev = scatter_bytes // max(1, sp)
+    out_rows_dev = (
+        -(-csr.nrows // sp)
+        if plan.layout == "halo" or plan.scatter_output
+        else csr.nrows
+    )
+    gather_bytes = nnz_dev * h_local * dtype_bytes
+    stream_bytes = (
+        nnz_dev * (4 + dtype_bytes) + out_rows_dev * h_local * dtype_bytes
+    )
+
+    # ---- collective volume per device (rides ICI) ----
+    if plan.layout == "2d" and sp > 1:
+        merge_rows = csr.nrows * h_local * dtype_bytes
+        frac = (sp - 1) / sp
+        # psum ≈ reduce-scatter + all-gather; scatter_output keeps only
+        # the reduce-scatter half (parallel/spmm_2d.py:224-229)
+        psum_bytes = int(
+            merge_rows * frac * (1 if plan.scatter_output else 2)
+        )
+    elif plan.layout == "halo":
+        if halo_stats is None:
+            halo_stats = memo.setdefault(
+                ("halo", sp), halo_statistics(csr, sp)
+            )
+        rows = (
+            halo_stats["a2a_recv_rows"]
+            if plan.exchange == "all_to_all"
+            else halo_stats["ag_recv_rows"]
+        )
+        psum_bytes = rows * hidden * dtype_bytes
+    else:
+        psum_bytes = 0
+
+    # rough per-device HBM residency, for the hbm budget cap: sparse
+    # tables + core + x slice + output slice
+    device_bytes = (
+        nnz_dev * (4 + dtype_bytes)
+        + core_bytes
+        + (-(-csr.ncols // max(1, sp))) * h_local * dtype_bytes
+        + out_rows_dev * h_local * dtype_bytes
+    )
+
     return {
-        "scatter_bytes": scatter_bytes,
+        "scatter_bytes": scatter_dev,
         "core_bytes": core_bytes,
-        # dominant term: one dense row read per (local) nnz
-        "gather_bytes": padded_nnz / max(1, sp) * h_local * dtype_bytes * sp
-        if sp == 1
-        else nnz_local * h_local * dtype_bytes,
+        # dominant term: one dense row read per local nnz
+        "gather_bytes": gather_bytes,
         # colind + vals streams and the output write
-        "stream_bytes": (
-            padded_nnz * (4 + dtype_bytes) + csr.nrows * h_local * dtype_bytes
-        ),
-        # sp-axis reduction volume (replaces host memadd merge_rows)
-        "psum_bytes": (sp - 1) * csr.nrows * h_local * dtype_bytes,
+        "stream_bytes": stream_bytes,
+        # collective volume (replaces host memadd merge_rows)
+        "psum_bytes": psum_bytes,
+        "device_bytes": device_bytes,
         "max_nnz_per_block": int(nnz_per_block.max(initial=0)),
         "mean_nnz_per_block": float(nnz_per_block.mean()) if nb else 0.0,
         "pad_fraction": float(padded_nnz / max(1, csr.nnz)) - 1.0,
         "n_blocks": nb,
         "n_dispatch": 1,
-        "rows_pad": plan.rows_pad,
-        "nnz_pad": plan.nnz_pad,
+        "rows_pad": plan_rb.rows_pad,
+        "nnz_pad": plan_rb.nnz_pad,
     }
 
 
@@ -137,9 +233,40 @@ def _fingerprint(csr: CsrGraph, hidden: int) -> str:
 @dataclasses.dataclass
 class TuneResult:
     config: SpmmConfig
+    plan: DistPlan
     predicted_s: float
     measured_s: Optional[float]
-    candidates: list  # (config_dict, predicted_s, measured_s|None)
+    candidates: list  # (config_dict, plan_dict, predicted_s, measured_s|None)
+
+
+def prepare_tuned(graph, result: TuneResult, devices=None):
+    """Instantiate the tuned (config, distribution) pair — single-chip,
+    2d mesh, or halo, matching how the reference turned its tuner's
+    (sp, ds, blnc) argmin into a device allocation
+    (utils/autotuner.py:344-360)."""
+    plan = result.plan
+    if plan.layout == "single":
+        from pygim_tpu.ops.spmm import prepare_spmm
+
+        return prepare_spmm(graph, result.config)
+    if plan.layout == "2d":
+        from pygim_tpu.parallel.mesh import make_mesh
+        from pygim_tpu.parallel.spmm_2d import prepare_spmm_2d
+
+        return prepare_spmm_2d(
+            graph,
+            make_mesh(plan.sp, plan.ds, devices),
+            result.config,
+            scatter_output=plan.scatter_output,
+        )
+    from pygim_tpu.parallel.halo import make_node_mesh, prepare_spmm_halo
+
+    return prepare_spmm_halo(
+        graph,
+        make_node_mesh(plan.sp, devices),
+        result.config,
+        exchange=plan.exchange,
+    )
 
 
 def autotune(
@@ -147,30 +274,43 @@ def autotune(
     hidden: int,
     space: Optional[Space] = None,
     *,
+    n_devices: int = 1,
+    layouts: tuple = ("single", "2d", "halo"),
     mode: str = "model",
     model: Optional[TpuCostModel] = None,
     use_cache: bool = True,
     repeats: int = 3,
+    dtype_bytes: int = 4,
+    hbm_budget_bytes: Optional[int] = None,
 ) -> TuneResult:
-    """Pick the best SpmmConfig for ``graph`` × dense width ``hidden``.
+    """Pick the best (SpmmConfig, DistPlan) for ``graph`` × width ``hidden``.
 
     ``mode='model'`` — rank by roofline prediction only (no device time),
     like the reference's analytic argmin (autotuner.py:309-343).
-    ``mode='measure'`` — additionally time the top-3 predicted candidates
-    on device and pick the measured argmin (the "real timing fallback" of
-    SURVEY.md §7 step 5).
+    ``mode='measure'`` — calibrate the model constants on first use, then
+    time the top-3 predicted candidates on device and pick the measured
+    argmin (the "real timing fallback" of SURVEY.md §7 step 5).
+    ``n_devices`` — distribution budget; every factorization plus both
+    halo exchanges becomes a candidate (the reference's sp_ds_set axis).
+    ``hbm_budget_bytes`` — per-device memory cap pruning hybrid cores and
+    tables that don't fit.
     """
     csr = graph if isinstance(graph, CsrGraph) else graph.to_csr()
     space = space if space is not None else DEFAULT_SPACE
     key = None
     if use_cache:
-        key = _fingerprint(csr, hidden) + f"-{mode}"
+        key = (
+            _fingerprint(csr, hidden)
+            + f"-{mode}-nd{n_devices}-{'.'.join(sorted(layouts))}"
+            + (f"-hbm{hbm_budget_bytes}" if hbm_budget_bytes else "")
+        )
         path = _CACHE_DIR / f"tune-{key}.json"
         if path.exists():
             try:
                 d = json.loads(path.read_text())
                 return TuneResult(
                     config=SpmmConfig(**d["config"]),
+                    plan=DistPlan(**d.get("plan", {})),
                     predicted_s=d["predicted_s"],
                     measured_s=d.get("measured_s"),
                     candidates=d["candidates"],
@@ -178,13 +318,47 @@ def autotune(
             except Exception:
                 pass
 
+    if mode == "measure" and model is None:
+        model = TpuCostModel.measured()
+
+    dists = enumerate_dist(n_devices, layouts)
+    square = csr.nrows == csr.ncols
+    memo: dict = {}
     scored = []
-    for point in space:
-        cfg = SpmmConfig(**point)
-        stats = plan_statistics(csr, hidden, cfg)
-        t = predict_spmm_time(stats, model)
-        scored.append((point, t))
-    scored.sort(key=lambda s: s[1])
+    for dist in dists:
+        if dist.layout == "halo" and not square:
+            continue
+        for point in space:
+            cfg = SpmmConfig(**point)
+            # the halo path aggregates with ELL tables regardless; the 2d
+            # path implements ell + hybrid — skip meaningless combos
+            if dist.layout == "halo" and cfg.backend != "ell":
+                continue
+            if dist.layout == "2d" and cfg.backend not in ("ell", "hybrid"):
+                continue
+            if cfg.backend == "hybrid" and not square:
+                continue
+            stats = plan_statistics(
+                csr, hidden, cfg, plan=dist, dtype_bytes=dtype_bytes,
+                _memo=memo,
+            )
+            if (
+                hbm_budget_bytes is not None
+                and stats["device_bytes"] > hbm_budget_bytes
+            ):
+                continue
+            t = predict_spmm_time(stats, model)
+            scored.append((point, dist, t))
+    if not scored:
+        raise ValueError(
+            "no feasible candidate (hbm_budget_bytes too small?)"
+        )
+    scored.sort(key=lambda s: s[2])
+
+    def _mkey(point, dist):
+        return json.dumps(
+            {**point, "__dist": dataclasses.asdict(dist)}, sort_keys=True
+        )
 
     measured: dict = {}
     if mode == "measure":
@@ -193,40 +367,44 @@ def autotune(
         import jax
         import jax.numpy as jnp
 
-        from pygim_tpu.ops.spmm import prepare_spmm
-
+        avail = len(jax.devices())
+        cands = [
+            (p, d) for p, d, _ in scored if d.n_devices <= avail
+        ][:3]
         x = jnp.asarray(
             np.random.default_rng(0).standard_normal((csr.ncols, hidden)),
             dtype=jnp.float32,
         )
         red = jax.jit(lambda o: jnp.sum(o))
-        for point, _pred in scored[:3]:
-            prep = prepare_spmm(csr, SpmmConfig(**point))
+        for point, dist in cands:
+            shim = TuneResult(SpmmConfig(**point), dist, 0.0, None, [])
+            prep = prepare_tuned(csr, shim)
             float(red(prep.mul(x)))  # compile + warm
             t0 = time.time()
             for _ in range(repeats):
                 out = prep.mul(x)
             float(red(out))
-            measured[json.dumps(point, sort_keys=True)] = (
-                time.time() - t0
-            ) / repeats
+            measured[_mkey(point, dist)] = (time.time() - t0) / repeats
 
     if measured:
-        best_point = min(
-            (p for p, _ in scored[:3]),
-            key=lambda p: measured[json.dumps(p, sort_keys=True)],
+        best_point, best_dist = min(
+            ((p, d) for p, d, _ in scored if _mkey(p, d) in measured),
+            key=lambda pd: measured[_mkey(*pd)],
         )
-        best_measured = measured[json.dumps(best_point, sort_keys=True)]
+        best_measured = measured[_mkey(best_point, best_dist)]
     else:
-        best_point, best_measured = scored[0][0], None
+        (best_point, best_dist), best_measured = scored[0][:2], None
 
     result = TuneResult(
         config=SpmmConfig(**best_point),
-        predicted_s=next(t for p, t in scored if p == best_point),
+        plan=best_dist,
+        predicted_s=next(
+            t for p, d, t in scored if p == best_point and d == best_dist
+        ),
         measured_s=best_measured,
         candidates=[
-            (p, t, measured.get(json.dumps(p, sort_keys=True)))
-            for p, t in scored
+            (p, dataclasses.asdict(d), t, measured.get(_mkey(p, d)))
+            for p, d, t in scored
         ],
     )
     if use_cache and key is not None:
@@ -235,6 +413,7 @@ def autotune(
             json.dumps(
                 {
                     "config": dataclasses.asdict(result.config),
+                    "plan": dataclasses.asdict(result.plan),
                     "predicted_s": result.predicted_s,
                     "measured_s": result.measured_s,
                     "candidates": result.candidates,

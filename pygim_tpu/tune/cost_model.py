@@ -60,6 +60,19 @@ class TpuCostModel:
                 pass
         return cls(**_DEFAULTS)
 
+    @classmethod
+    def measured(cls) -> "TpuCostModel":
+        """Cached-or-calibrate: the first ``mode='measure'`` autotune call
+        pays a few seconds of device microbenchmark, later calls hit the
+        on-disk constants (the honest version of the reference's
+        hard-coded bandwidth tables, autotuner.py:23-89)."""
+        if _CACHE.exists():
+            return cls.default()
+        try:
+            return measure_constants(save=True)
+        except Exception:
+            return cls(**_DEFAULTS)
+
 
 def predict_spmm_time(stats: dict, model: Optional[TpuCostModel] = None) -> float:
     """Predicted seconds for one SpMM under a partition plan's statistics
@@ -77,7 +90,12 @@ def predict_spmm_time(stats: dict, model: Optional[TpuCostModel] = None) -> floa
     return t
 
 
-def measure_constants(save: bool = True) -> TpuCostModel:
+def measure_constants(
+    save: bool = True,
+    n: int = 1 << 21,
+    h: int = 256,
+    g: int = 2_000_000,
+) -> TpuCostModel:
     """On-device microbenchmark of streaming/gather bandwidth — the honest
     version of the reference's hard-coded bandwidth tables
     (autotuner.py:23-89). Requires a few seconds of device time."""
@@ -87,7 +105,7 @@ def measure_constants(save: bool = True) -> TpuCostModel:
 
     from pygim_tpu.utils.timers import device_time
 
-    n, h, g = 1 << 21, 256, 2_000_000  # 2 GB stream / 2 GB gather out
+    # defaults: 2 GB stream / 2 GB gather out
     x = jnp.ones((n, h), dtype=jnp.float32)
     idx = jnp.asarray(
         np.random.default_rng(0).integers(0, n, g), dtype=jnp.int32

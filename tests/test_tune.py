@@ -1,5 +1,6 @@
 """Space DSL, cost model, autotuner (model mode — no device time)."""
 
+import numpy as np
 import pytest
 
 from pygim_tpu.ops.spmm import SpmmConfig
@@ -73,7 +74,7 @@ def test_autotune_model_mode(rng, tmp_path, monkeypatch):
     assert res.predicted_s > 0
     assert res.measured_s is None
     # best candidate is the argmin of predictions
-    preds = [t for _, t, _ in res.candidates]
+    preds = [t for _, _, t, _ in res.candidates]
     assert res.predicted_s == min(preds)
 
 
@@ -112,3 +113,139 @@ def test_hybrid_in_autotune_space(rng, tmp_path, monkeypatch):
     assert stats_h["core_bytes"] == 256 * 256 * 4
     # hybrid tail gathers far fewer padded edges than full ell
     assert stats_h["gather_bytes"] < 0.5 * stats_e["gather_bytes"]
+
+
+class TestDistTuning:
+    """Distribution-axis search (tune/dist.py) — the reference tuner's
+    sp×ds argmin (utils/autotuner.py:259-343), extended with the halo
+    exchange and scatter_output knobs."""
+
+    def _block_diag(self, rng, n=4096, nd=4, deg=8):
+        # edges stay inside each device's contiguous row range → tiny cut
+        from pygim_tpu.core.graph import CooGraph
+
+        rpd = n // nd
+        rows = np.repeat(np.arange(n), deg)
+        cols = (rows // rpd) * rpd + rng.integers(0, rpd, rows.size)
+        return CooGraph.from_edges(rows, cols, nrows=n, ncols=n)
+
+    def _dense_cut(self, rng, n=4096, deg=8):
+        # uniformly random neighbors → nearly every remote row requested
+        from pygim_tpu.core.graph import CooGraph
+
+        rows = np.repeat(np.arange(n), deg)
+        cols = rng.integers(0, n, rows.size)
+        return CooGraph.from_edges(rows, cols, nrows=n, ncols=n)
+
+    def test_enumerate_dist(self):
+        from pygim_tpu.tune import enumerate_dist
+
+        plans = enumerate_dist(8)
+        shapes = {(p.layout, p.sp, p.ds) for p in plans}
+        assert ("2d", 2, 4) in shapes and ("2d", 8, 1) in shapes
+        assert ("halo", 8, 1) in shapes and ("single", 1, 1) in shapes
+        assert any(p.scatter_output for p in plans)
+        exch = {p.exchange for p in plans if p.layout == "halo"}
+        assert exch == {"all_gather", "all_to_all"}
+
+    def test_halo_statistics_cut(self, rng):
+        from pygim_tpu.tune import halo_statistics
+
+        hs_bd = halo_statistics(self._block_diag(rng).to_csr(), 4)
+        hs_dc = halo_statistics(self._dense_cut(rng).to_csr(), 4)
+        assert hs_bd["halo_k"] * 4 < hs_bd["ag_recv_rows"]
+        assert hs_dc["a2a_recv_rows"] >= hs_dc["ag_recv_rows"]
+        assert hs_bd["local_edge_fraction"] > 0.99
+
+    def test_picks_all_to_all_on_block_diagonal(self, rng, tmp_path, monkeypatch):
+        monkeypatch.setenv("PYGIM_TPU_TUNE_CACHE", str(tmp_path))
+        res = autotune(
+            self._block_diag(rng), hidden=64, n_devices=4,
+            layouts=("halo",), use_cache=False,
+        )
+        assert res.plan.layout == "halo"
+        assert res.plan.exchange == "all_to_all"
+
+    def test_picks_all_gather_on_dense_cut(self, rng, tmp_path, monkeypatch):
+        monkeypatch.setenv("PYGIM_TPU_TUNE_CACHE", str(tmp_path))
+        res = autotune(
+            self._dense_cut(rng), hidden=64, n_devices=4,
+            layouts=("halo",), use_cache=False,
+        )
+        assert res.plan.exchange == "all_gather"
+
+    def test_picks_bigger_core_when_budget_allows(self, rng, tmp_path, monkeypatch):
+        monkeypatch.setenv("PYGIM_TPU_TUNE_CACHE", str(tmp_path))
+        from pygim_tpu.core.graph import CooGraph
+        from pygim_tpu.tune import For
+
+        # moderate hub block (0..512) + uniform tail: the 512-core saves
+        # enough per-edge gather to win on time, but its core slab costs
+        # more HBM than the tail tables it removes
+        n = 4096
+        r = np.concatenate(
+            [rng.integers(0, 512, 60000), rng.integers(0, n, 100000)]
+        )
+        c = np.concatenate(
+            [rng.integers(0, 512, 60000), rng.integers(0, n, 100000)]
+        )
+        coo = CooGraph.from_edges(r, c, nrows=n, ncols=n)
+        space = (
+            For("backend", ["hybrid"])
+            * For("hybrid_k", [256, 512])
+            * For("balance", ["nnz"])
+        )
+        res = autotune(
+            coo, hidden=64, space=space, layouts=("single",),
+            use_cache=False,
+        )
+        assert res.config.hybrid_k == 512
+        # with a cap that only fits the small core, the tuner downsizes
+        csr = coo.to_csr()
+        db = {
+            k: plan_statistics(
+                csr, 64, SpmmConfig(backend="hybrid", hybrid_k=k)
+            )["device_bytes"]
+            for k in (256, 512)
+        }
+        assert db[512] > db[256]  # bigger core really costs memory here
+        res_cap = autotune(
+            coo, hidden=64, space=space, layouts=("single",),
+            use_cache=False, hbm_budget_bytes=(db[256] + db[512]) // 2,
+        )
+        assert res_cap.config.hybrid_k == 256
+
+    def test_prepare_tuned_roundtrip(self, rng, tmp_path, monkeypatch):
+        monkeypatch.setenv("PYGIM_TPU_TUNE_CACHE", str(tmp_path))
+        import jax.numpy as jnp
+
+        from pygim_tpu.tune import prepare_tuned
+
+        coo = self._block_diag(rng, n=512, nd=4)
+        res = autotune(coo, hidden=16, n_devices=4, use_cache=False)
+        prep = prepare_tuned(coo, res)
+        x = rng.standard_normal((512, 16)).astype(np.float32)
+        import scipy.sparse as sp
+
+        dense = sp.coo_matrix(
+            (coo.vals, (coo.rows, coo.cols)), shape=(512, 512)
+        ).toarray()
+        np.testing.assert_allclose(
+            np.asarray(prep.mul(jnp.asarray(x))), dense @ x,
+            rtol=1e-4, atol=1e-4,
+        )
+
+    def test_measure_mode_multichip(self, rng, tmp_path, monkeypatch):
+        monkeypatch.setenv("PYGIM_TPU_TUNE_CACHE", str(tmp_path))
+        import pygim_tpu.tune.cost_model as cm
+
+        monkeypatch.setattr(
+            cm, "measure_constants",
+            lambda save=True, **kw: cm.TpuCostModel(**cm._DEFAULTS),
+        )
+        coo = self._block_diag(rng, n=256, nd=4)
+        res = autotune(
+            coo, hidden=8, n_devices=4, use_cache=False, mode="measure",
+            repeats=1,
+        )
+        assert res.measured_s is not None and res.measured_s > 0
