@@ -162,19 +162,15 @@ def run_inference_benchmark(
         jax.random.key(seed), model, ds.x.shape[1], hidden,
         ds.num_classes, num_layers=num_layers, agg_dtype=agg_dtype,
     )
-    if mesh is None:
-        # thread the sparse tables through the jit as ARGUMENTS — closing
-        # over prep.mul would bake them in as giant HLO constants
-        dev = prep.dev_arrays
-        fwd_j = jax.jit(
-            lambda x, dev: gnn.apply(x, lambda v: prep.raw_mul(v, dev))
-        )
-        fwd = lambda x: fwd_j(x, dev)
-    else:
-        # mesh path: aggregate is its own jitted shard_map; surrounding
-        # dense math dispatches op-by-op (multi-chip runs are validated on
-        # the virtual CPU mesh this round)
-        fwd = lambda x: gnn.apply(x, prep.mul)
+    # thread the sparse tables through the jit as ARGUMENTS — closing
+    # over prep.mul would bake them in as giant HLO constants. The mesh
+    # preps (2d / halo) implement the same dev_arrays/raw_mul contract,
+    # so single-chip and multi-chip forwards both compile to ONE program.
+    dev = prep.dev_arrays
+    fwd_j = jax.jit(
+        lambda x, dev: gnn.apply(x, lambda v: prep.raw_mul(v, dev))
+    )
+    fwd = lambda x: fwd_j(x, dev)
     dt = device_time(fwd, x, iters=repeat)
     rep.report("infer_time(ms)", dt * 1e3)
     rep.report("edges_per_s", graph.nnz * num_layers / dt)

@@ -289,24 +289,38 @@ class PreparedSpmmHalo:
                     dev["send_idx"], xp,
                 )
 
-        def run(xp):
-            # xp: (nd, rpd, H) device-sharded stack
-            out = runner(self._dev, xp)
+        def run(x, dev):
+            # pad + reshard INSIDE the traced program (callable from a
+            # caller's jit via raw_mul — no per-call host work)
+            xp = x
+            if self.n_pad != x.shape[0]:
+                xp = jnp.zeros((self.n_pad, x.shape[1]), dtype=x.dtype)
+                xp = xp.at[: x.shape[0]].set(x)
+            xp = jax.lax.with_sharding_constraint(
+                xp.reshape(self.nd, self.rows_per_dev, -1),
+                self._x_sharding,
+            )
+            out = runner(dev, xp)
             return out.reshape(self.n_pad, -1)[: self.nrows]
 
+        self._raw_run = run
         return jax.jit(run)
+
+    @property
+    def dev_arrays(self) -> dict:
+        """Device-resident sharded tables for jit-argument threading
+        (same contract as ``PreparedSpmm.dev_arrays``)."""
+        return dict(self._dev)
+
+    def raw_mul(self, x, dev: dict):
+        """Unjitted product for composition inside caller jits — a whole
+        multi-layer forward (exchange included) compiles to ONE program."""
+        return self._raw_run(x, dev)
 
     def mul(self, x) -> jax.Array:
         if x.shape[0] != self.nrows:
             raise ValueError(f"x rows {x.shape[0]} != nrows {self.nrows}")
-        xp = x
-        if self.n_pad != self.nrows:
-            xp = jnp.zeros((self.n_pad, x.shape[1]), dtype=x.dtype)
-            xp = xp.at[: self.nrows].set(x)
-        xp = jax.device_put(
-            xp.reshape(self.nd, self.rows_per_dev, -1), self._x_sharding
-        )
-        return self._run(xp)
+        return self._run(x, self.dev_arrays)
 
 
 def prepare_spmm_halo(

@@ -237,32 +237,51 @@ class PreparedSpmm2D:
             in_specs=tuple(in_specs),
             out_specs=P("sp", "ds") if scatter else P(None, "ds"),
         )
-        return jax.jit(shard_fn)
+
+        def run(x, dev):
+            # pad + reshard INSIDE the traced program — callable from a
+            # caller's jit (raw_mul) with no per-call host work; padding
+            # is a traced zeros+set, resharding a GSPMD constraint
+            h = x.shape[1]
+            h_pad = round_up(h, self.ds)
+            xp = x
+            if self.ncols_pad != x.shape[0] or h_pad != h:
+                xp = jnp.zeros((self.ncols_pad, h_pad), dtype=x.dtype)
+                xp = xp.at[: x.shape[0], :h].set(x)
+            xp = jax.lax.with_sharding_constraint(xp, self._x_sharding)
+            args = [dev["cols2d"], dev["vals2d"], dev["vrow_to_row"], xp]
+            if hybrid:
+                args += [dev["core"], dev["core_rows"], dev["core_nodes"]]
+            out = shard_fn(*args)
+            if scatter:
+                out = out[: self.nrows]
+            return out[:, :h] if h_pad != h else out
+
+        self._raw_run = run
+        return jax.jit(run)
+
+    @property
+    def dev_arrays(self) -> dict:
+        """Device-resident sharded tables — thread through YOUR jit and
+        use :meth:`raw_mul` inside, exactly like the single-chip
+        ``PreparedSpmm`` (closing over ``.mul`` would bake the tables in
+        as HLO constants)."""
+        if self.hybrid_k_eff > 0:
+            return {**self._dev, **self._core_dev}
+        return dict(self._dev)
+
+    def raw_mul(self, x, dev: dict):
+        """Unjitted product for composition inside caller jits — the
+        whole multi-layer forward compiles to ONE program (the
+        one-run-call-per-multiply discipline of the reference's
+        pytorch_api.cpp:248-280)."""
+        return self._raw_run(x, dev)
 
     def mul(self, x) -> jax.Array:
-        """out = A @ x. Pads x to the sharded shape, runs, trims."""
+        """out = A @ x. Pads/reshards inside the jit, runs, trims."""
         if x.shape[0] != self.ncols:
             raise ValueError(f"x rows {x.shape[0]} != A cols {self.ncols}")
-        h = x.shape[1]
-        h_pad = round_up(h, self.ds)
-        xp = x
-        if self.ncols_pad != self.ncols or h_pad != h:
-            xp = jnp.zeros((self.ncols_pad, h_pad), dtype=x.dtype)
-            xp = xp.at[: self.ncols, :h].set(x)
-        xp = jax.device_put(xp, self._x_sharding)
-        args = [
-            self._dev["cols2d"], self._dev["vals2d"],
-            self._dev["vrow_to_row"], xp,
-        ]
-        if self.hybrid_k_eff > 0:
-            args += [
-                self._core_dev["core"], self._core_dev["core_rows"],
-                self._core_dev["core_nodes"],
-            ]
-        out = self._run(*args)
-        if self.scatter_output:
-            out = out[: self.nrows]
-        return out[:, :h] if h_pad != h else out
+        return self._run(x, self.dev_arrays)
 
 
 def prepare_spmm_2d(

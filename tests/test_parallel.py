@@ -146,3 +146,57 @@ def test_2d_scatter_output_hybrid(rng):
         np.asarray(prep.mul(jnp.asarray(x))), _dense_ref(coo, x),
         rtol=1e-4, atol=1e-4,
     )
+
+
+def test_2d_raw_mul_one_program(rng):
+    """dev_arrays/raw_mul contract on the mesh path: a 2-layer forward
+    (two aggregates + dense math) compiles as ONE jitted program."""
+    import jax
+    import jax.numpy as jnp
+
+    from pygim_tpu.parallel.mesh import make_mesh
+    from pygim_tpu.parallel.spmm_2d import prepare_spmm_2d
+
+    coo = random_coo(rng, nrows=96, ncols=96, nnz=600)
+    prep = prepare_spmm_2d(coo, make_mesh(2, 4), SpmmConfig(backend="ell"))
+    w = rng.standard_normal((16, 16)).astype(np.float32)
+    dev = prep.dev_arrays
+
+    @jax.jit
+    def fwd(x, w, dev):
+        h = jax.nn.relu(prep.raw_mul(x, dev) @ w)
+        return prep.raw_mul(h, dev)
+
+    x = rng.standard_normal((96, 16)).astype(np.float32)
+    ref = np.asarray(coo.to_dense(), dtype=np.float64)
+    expect = ref @ np.maximum(ref @ x @ w, 0)
+    np.testing.assert_allclose(
+        np.asarray(fwd(jnp.asarray(x), jnp.asarray(w), dev)), expect,
+        rtol=1e-3, atol=1e-3,
+    )
+    # mul() itself matches too (same traced path)
+    np.testing.assert_allclose(
+        np.asarray(prep.mul(jnp.asarray(x))), ref @ x, rtol=1e-4, atol=1e-4
+    )
+
+
+def test_halo_raw_mul_one_program(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from pygim_tpu.parallel.halo import make_node_mesh, prepare_spmm_halo
+
+    coo = random_coo(rng, nrows=64, ncols=64, nnz=400)
+    prep = prepare_spmm_halo(coo, make_node_mesh(4), SpmmConfig(n_blocks=1))
+    dev = prep.dev_arrays
+
+    @jax.jit
+    def fwd(x, dev):
+        return prep.raw_mul(jax.nn.relu(prep.raw_mul(x, dev)), dev)
+
+    x = rng.standard_normal((64, 8)).astype(np.float32)
+    ref = np.asarray(coo.to_dense(), dtype=np.float64)
+    np.testing.assert_allclose(
+        np.asarray(fwd(jnp.asarray(x), dev)),
+        ref @ np.maximum(ref @ x, 0), rtol=1e-3, atol=1e-3,
+    )
