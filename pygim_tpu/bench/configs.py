@@ -26,9 +26,17 @@ BASELINE_EXPERIMENTS = [
                sp_format="coo", tune=True),
     Experiment(dataset="ogbn-arxiv", kind="inference", model="sage",
                sp_format="csr", tune=True),
-    # (4) INT8-quantized GCN on ogbn-products
+    # (4) INT8-quantized GCN on ogbn-products — hybrid core + BCSR
+    # middle tier covers the flat part of its degree distribution
     Experiment(dataset="ogbn-products", kind="inference", model="gcn",
-               dtype="int8", backend="ell"),
+               dtype="int8", backend="hybrid", hybrid_dtype="bfloat16",
+               bcsr_bytes=4 << 30),
+    # (5) ogbn-papers100M GCN edge-partitioned multi-host with ICI halo
+    # exchange — rehearsal scale: an R-MAT with papers100M's density
+    # (~14.5 edges/node) sized so one shard fits the virtual-mesh hosts;
+    # the real dataset needs the multi-host fleet this environment lacks
+    Experiment(dataset="rmat-1048576-15728640", kind="scaling",
+               backend="ell", hidden=128, exchange="all_to_all", repeat=2),
 ]
 
 

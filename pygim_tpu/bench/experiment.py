@@ -37,7 +37,7 @@ class Experiment:
     block/backend knobs."""
 
     dataset: str = "pubmed"
-    kind: str = "spmm"            # spmm | inference
+    kind: str = "spmm"            # spmm | inference | scaling
     model: str = "gcn"
     num_layers: int = 2
     hidden: int = 256
@@ -50,14 +50,27 @@ class Experiment:
     block_nnz_budget: int = 1 << 17
     hybrid_core_bytes: int = 4 << 30   # hybrid backend core budget
     hybrid_dtype: str = ""             # "" = vals dtype; "bfloat16" option
+    bcsr_bytes: int = 0                # hybrid BCSR middle-tier budget
+    exchange: str = "all_to_all"       # scaling kind: halo exchange
     repeat: int = 3
     tune: bool = False
 
     def frozen_name(self) -> str:
-        """Deterministic result-file stem from all params
-        (experiment.py:214-234 analog)."""
+        """Deterministic result-file stem from the params
+        (experiment.py:214-234 analog). Fields at their default value are
+        omitted (except the always-identifying dataset/kind/backend) so
+        names stay under the filesystem's 255-char limit and remain
+        stable when new knobs are added with defaults."""
         d = dataclasses.asdict(self)
-        return "_".join(f"{k}-{d[k]}" for k in sorted(d))
+        keep = {"dataset", "kind", "backend"}
+        defaults = {
+            f.name: f.default for f in dataclasses.fields(Experiment)
+        }
+        return "_".join(
+            f"{k}-{d[k]}"
+            for k in sorted(d)
+            if k in keep or d[k] != defaults[k]
+        )
 
     def spmm_config(self) -> SpmmConfig:
         return SpmmConfig(
@@ -65,6 +78,7 @@ class Experiment:
             balance=self.balance, block_nnz_budget=self.block_nnz_budget,
             hybrid_core_bytes=self.hybrid_core_bytes,
             hybrid_dtype=self.hybrid_dtype or None,
+            bcsr_bytes=self.bcsr_bytes, hidden_hint=self.hidden,
         )
 
     def status_at(self, results_dir) -> str:
@@ -113,6 +127,13 @@ class Experiment:
                     hidden=self.hidden,
                     agg_dtype=None if self.dtype == "float32" else self.dtype,
                     config=cfg, repeat=self.repeat, reporter=rep, mesh=mesh,
+                )
+            elif self.kind == "scaling":
+                from pygim_tpu.bench.scaling import run_scaling_benchmark
+
+                run_scaling_benchmark(
+                    ds, hidden=self.hidden, exchange=self.exchange,
+                    config=cfg, repeat=self.repeat, reporter=rep,
                 )
             else:
                 raise ValueError(f"unknown kind {self.kind!r}")

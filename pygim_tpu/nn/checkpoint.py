@@ -2,8 +2,10 @@
 
 The reference has no model checkpointing (inference-only, random weights —
 SURVEY.md §5.4); a production framework needs it. Orbax is used when
-available (async, sharding-aware); a plain-npz fallback keeps the feature
-dependency-free.
+available (sharding-aware, async-capable); a plain-npz fallback keeps the
+feature dependency-free. Optimizer state is a pytree like any other —
+pass ``extra={"opt_state": opt_state}`` to checkpoint it alongside the
+params.
 """
 
 from __future__ import annotations
@@ -14,47 +16,103 @@ from pathlib import Path
 import jax
 import numpy as np
 
+try:  # gated: orbax is optional
+    import orbax.checkpoint as _ocp
+except Exception:  # pragma: no cover - environment without orbax
+    _ocp = None
 
-def save_checkpoint(path, params, step: int = 0, meta: dict | None = None):
-    """Save a parameter pytree (+ metadata). Directory layout:
-    ``<path>/params.npz`` + ``<path>/meta.json``."""
+
+def _to_tree(params, extra):
+    return {"params": params, **(extra or {})}
+
+
+def save_checkpoint(
+    path,
+    params,
+    step: int = 0,
+    meta: dict | None = None,
+    extra: dict | None = None,
+    use_orbax: bool | None = None,
+):
+    """Save a parameter pytree (+ optional extra pytrees like optimizer
+    state, + metadata).
+
+    ``use_orbax=None`` auto-selects: Orbax when importable, npz otherwise.
+    Layout: ``<path>/orbax/`` (Orbax) or ``<path>/params.npz`` (fallback),
+    plus ``<path>/meta.json`` either way.
+    """
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
-    flat, treedef = jax.tree_util.tree_flatten(params)
-    arrays = {f"p{i}": np.asarray(a) for i, a in enumerate(flat)}
-    tmp = path / "params.tmp.npz"
-    np.savez(tmp, **arrays)
-    (tmp).replace(path / "params.npz")
+    tree = _to_tree(params, extra)
+    flat, treedef = jax.tree_util.tree_flatten(tree)
+    orbax = _ocp is not None if use_orbax is None else use_orbax
+    if orbax:
+        if _ocp is None:
+            raise RuntimeError("use_orbax=True but orbax is not importable")
+        with _ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(
+                (path / "orbax").absolute(), tree,
+                force=True,
+            )
+    else:
+        arrays = {f"p{i}": np.asarray(a) for i, a in enumerate(flat)}
+        tmp = path / "params.tmp.npz"
+        np.savez(tmp, **arrays)
+        (tmp).replace(path / "params.npz")
     (path / "meta.json").write_text(
         json.dumps(
             {
                 "step": step,
                 "n_leaves": len(flat),
                 "treedef": str(treedef),
+                "format": "orbax" if orbax else "npz",
                 **(meta or {}),
             }
         )
     )
 
 
-def restore_checkpoint(path, params_template):
+def restore_checkpoint(path, params_template, extra_template: dict | None = None):
     """Restore into the structure of ``params_template`` (shape-checked).
-    Returns (params, step)."""
+
+    Returns ``(params, step)`` — or ``(params, extra, step)`` when an
+    ``extra_template`` (e.g. ``{"opt_state": opt_state}``) is given.
+    """
     path = Path(path)
-    z = np.load(path / "params.npz")
-    flat_t, treedef = jax.tree_util.tree_flatten(params_template)
-    if len(flat_t) != len(z.files):
-        raise ValueError(
-            f"checkpoint has {len(z.files)} leaves, template {len(flat_t)}"
-        )
-    flat = []
-    for i, t in enumerate(flat_t):
-        a = z[f"p{i}"]
-        if tuple(a.shape) != tuple(np.shape(t)):
+    meta = json.loads((path / "meta.json").read_text())
+    template = _to_tree(params_template, extra_template)
+    flat_t, treedef = jax.tree_util.tree_flatten(template)
+    if meta.get("format") == "orbax":
+        if _ocp is None:
+            raise RuntimeError(
+                "checkpoint was saved with orbax, which is not importable"
+            )
+        with _ocp.PyTreeCheckpointer() as ckptr:
+            restored = ckptr.restore((path / "orbax").absolute())
+        flat_r, treedef_r = jax.tree_util.tree_flatten(restored)
+        if len(flat_r) != len(flat_t):
             raise ValueError(
-                f"leaf {i}: checkpoint shape {a.shape} != template "
+                f"checkpoint has {len(flat_r)} leaves, template {len(flat_t)}"
+            )
+        flat = flat_r
+    else:
+        z = np.load(path / "params.npz")
+        if len(flat_t) != len(z.files):
+            raise ValueError(
+                f"checkpoint has {len(z.files)} leaves, template {len(flat_t)}"
+            )
+        flat = [z[f"p{i}"] for i in range(len(flat_t))]
+    out = []
+    for i, (a, t) in enumerate(zip(flat, flat_t)):
+        if tuple(np.shape(a)) != tuple(np.shape(t)):
+            raise ValueError(
+                f"leaf {i}: checkpoint shape {np.shape(a)} != template "
                 f"{np.shape(t)}"
             )
-        flat.append(jax.numpy.asarray(a, dtype=t.dtype))
-    meta = json.loads((path / "meta.json").read_text())
-    return jax.tree_util.tree_unflatten(treedef, flat), meta.get("step", 0)
+        out.append(jax.numpy.asarray(a, dtype=np.asarray(t).dtype))
+    tree = jax.tree_util.tree_unflatten(treedef, out)
+    step = meta.get("step", 0)
+    if extra_template is not None:
+        params = tree.pop("params")
+        return params, tree, step
+    return tree["params"], step

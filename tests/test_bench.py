@@ -174,3 +174,23 @@ def test_scaling_benchmark_virtual_mesh(tmp_path):
     )
     assert "edges_per_s_n1" in means
     assert "scaling_efficiency_n4" in means
+
+
+def test_scaling_experiment_kind(tmp_path):
+    """kind='scaling' runs the halo scaling benchmark into the ledger
+    with edges_per_s_n{N} + scaling_efficiency keys (BASELINE config 5
+    rehearsal plumbing)."""
+    from pygim_tpu.bench.experiment import Experiment
+
+    exp = Experiment(
+        dataset="tiny", kind="scaling", backend="ell", hidden=8, repeat=1,
+        exchange="all_to_all",
+    )
+    means = exp.run(tmp_path)
+    assert "edges_per_s_n1" in means
+    nmax = max(
+        int(k.rsplit("_n", 1)[1]) for k in means if k.startswith("edges_per_s_n")
+    )
+    assert nmax > 1  # virtual mesh provides 8 devices
+    assert f"scaling_efficiency_n{nmax}" in means
+    assert exp.status_at(tmp_path) == "done"

@@ -64,7 +64,9 @@ def test_train_cli(tmp_path, capsys):
     ])
     out = capsys.readouterr().out
     assert "[DATA]train_loss" in out
-    assert (tmp_path / "ck" / "params.npz").exists()
+    ck = tmp_path / "ck"
+    assert (ck / "meta.json").exists()
+    assert (ck / "params.npz").exists() or (ck / "orbax").exists()
 
 
 def test_sweep_cli_dry_run_and_parse(tmp_path, capsys):

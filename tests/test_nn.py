@@ -157,3 +157,32 @@ def test_train_step_threaded_matches_closure(rng):
     np.testing.assert_allclose(
         np.asarray(p1["ln1"]["w"]), np.asarray(p2["ln1"]["w"]), rtol=1e-6
     )
+
+
+@pytest.mark.parametrize("use_orbax", [False, True])
+def test_checkpoint_orbax_and_npz(tmp_path, use_orbax):
+    """Both checkpoint formats roundtrip params + optimizer state."""
+    if use_orbax:
+        pytest.importorskip("orbax.checkpoint")
+    import optax
+
+    from pygim_tpu.nn.checkpoint import restore_checkpoint, save_checkpoint
+    from pygim_tpu.nn.models import make_gnn
+
+    model = make_gnn(jax.random.key(0), "gcn", 8, 16, 4)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(model.params)
+    save_checkpoint(
+        tmp_path / "ck", model.params, step=7,
+        extra={"opt_state": opt_state}, use_orbax=use_orbax,
+    )
+    tmpl = jax.tree_util.tree_map(jnp.zeros_like, model.params)
+    opt_tmpl = jax.tree_util.tree_map(jnp.zeros_like, opt_state)
+    params, extra, step = restore_checkpoint(
+        tmp_path / "ck", tmpl, extra_template={"opt_state": opt_tmpl}
+    )
+    assert step == 7
+    import chex
+
+    chex.assert_trees_all_close(params, model.params)
+    chex.assert_trees_all_close(extra["opt_state"], opt_state)
