@@ -38,9 +38,8 @@ def main(argv=None):
     args = get_args(argv)
     print(args)
 
-    import jax
-
     from pygim_tpu.bench.runners import run_inference_benchmark
+    from pygim_tpu.compat import prepare_for_version
     from pygim_tpu.data import cluster_partition, load_dataset
     from pygim_tpu.ops.spmm import SpmmConfig
 
@@ -52,29 +51,33 @@ def main(argv=None):
     if args.dataset == "amazonproducts":
         ds = cluster_partition(ds, part_size=500_000, part_idx=1)
 
-    cfg = SpmmConfig(backend="blocked", format=args.sp_format)
-    if args.tune:
-        from pygim_tpu.tune import autotune
-
-        cfg = autotune(ds.graph, args.hidden_size).config
-
-    mesh = None
-    n_mesh = args.sp_parts * args.ds_parts
-    if args.version != "cpu" and 1 < n_mesh <= len(jax.devices()):
-        from pygim_tpu.parallel import make_mesh
-
-        mesh = make_mesh(args.sp_parts, args.ds_parts)
-
+    cfg = None
     agg_dtype = None if args.data_type in ("float32", "float64") \
         else args.data_type
     if args.version == "cpu":
         agg_dtype = None
-        cfg = SpmmConfig(backend="oracle")
+    else:
+        # measured-best default (docs/PERF.md); --tune searches instead
+        cfg = SpmmConfig(
+            backend="ell", format=args.sp_format,
+            hidden_hint=args.hidden_size,
+        )
+        if args.tune:
+            from pygim_tpu.tune import autotune
+
+            cfg = autotune(ds.graph, args.hidden_size).config
+
+    def prepare_fn(graph, config):
+        return prepare_for_version(
+            args.version, graph, hidden_size=args.hidden_size,
+            sp_parts=args.sp_parts, ds_parts=args.ds_parts,
+            sp_format=args.sp_format, config=config,
+        )
 
     run_inference_benchmark(
         ds, model=args.model, num_layers=args.num_layers,
         hidden=args.hidden_size, agg_dtype=agg_dtype, config=cfg,
-        repeat=args.repeat, mesh=mesh,
+        repeat=args.repeat, prepare_fn=prepare_fn,
     )
 
 

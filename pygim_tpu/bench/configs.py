@@ -15,9 +15,10 @@ DATASETS = {
 
 # BASELINE.md §3 tracked configs
 BASELINE_EXPERIMENTS = [
-    # (1) single SpMM Reddit CSR FLT32 h=256
+    # (1) single SpMM Reddit CSR FLT32 h=256 (with the per-phase timer
+    # breakdown the reference emitted per multiply)
     Experiment(dataset="reddit", kind="spmm", sp_format="csr",
-               dtype="float32", hidden=256, backend="hybrid"),
+               dtype="float32", hidden=256, backend="hybrid", phases=True),
     # (2) 2-layer GCN Reddit FLT32
     Experiment(dataset="reddit", kind="inference", model="gcn",
                num_layers=2, dtype="float32", hidden=256, backend="hybrid"),

@@ -52,6 +52,7 @@ class Experiment:
     hybrid_dtype: str = ""             # "" = vals dtype; "bfloat16" option
     bcsr_bytes: int = 0                # hybrid BCSR middle-tier budget
     exchange: str = "all_to_all"       # scaling kind: halo exchange
+    phases: bool = False               # spmm kind: per-phase [DATA] times
     repeat: int = 3
     tune: bool = False
 
@@ -120,6 +121,7 @@ class Experiment:
                 run_spmm_benchmark(
                     ds, hidden=self.hidden, dtype=self.dtype, config=cfg,
                     repeat=self.repeat, reporter=rep, mesh=mesh,
+                    phases=self.phases,
                 )
             elif self.kind == "inference":
                 run_inference_benchmark(

@@ -40,9 +40,13 @@ def run_spmm_benchmark(
     verify: bool = True,
     reporter: Optional[DataReporter] = None,
     mesh=None,
+    prepare_fn=None,
+    phases: bool = False,
 ) -> dict:
     """SpMM micro-benchmark (spmm_test.py analog): times the prepared
-    backend against the jnp oracle and cross-checks numerics."""
+    backend against the jnp oracle and cross-checks numerics.
+    ``prepare_fn(graph, config) -> prep`` overrides the default dispatch
+    (used by the entry scripts' ``--version`` routing, compat.py)."""
     rep = reporter or DataReporter()
     rng = np.random.default_rng(0)
     graph = ds.graph
@@ -55,7 +59,9 @@ def run_spmm_benchmark(
     graph = _cast_graph(graph, dtype)
 
     t0 = time.perf_counter()
-    if mesh is not None:
+    if prepare_fn is not None:
+        prep = prepare_fn(graph, config)
+    elif mesh is not None:
         from pygim_tpu.parallel import prepare_spmm_2d
 
         prep = prepare_spmm_2d(graph, mesh, config)
@@ -63,6 +69,9 @@ def run_spmm_benchmark(
         prep = prepare_spmm(graph, config or SpmmConfig())
     prep_s = time.perf_counter() - t0
     rep.report("prepare_pim_time(ms)", prep_s * 1e3)
+    from pygim_tpu.compat import describe_layout
+
+    rep.report("layout", describe_layout(prep))
     # the reference's load_sparse_time: sparse operand movement to device
     # memory. Here the device_put happens inside prepare (prepare-once);
     # report the same number so parse_results' pim_time_dense derivation
@@ -73,6 +82,13 @@ def run_spmm_benchmark(
 
     dt = device_time(prep.mul, x, iters=repeat)
     rep.report("pim_time_spmm(ms)", dt * 1e3)
+    if phases and hasattr(prep, "phase_times"):
+        # per-phase breakdown (the reference's 5 timer slots,
+        # spmm_mul_csr.c:563-580) — each phase compiles its own program,
+        # so this is opt-in
+        for k, v in prep.phase_times(x, iters=repeat).items():
+            if k != "mul_time(ms)":
+                rep.report(k, v)
     model_bytes = spmm_model_bytes(
         graph.nnz, graph.nrows, hidden, jnp.dtype(dtype).itemsize
     )
@@ -141,22 +157,29 @@ def run_inference_benchmark(
     reporter: Optional[DataReporter] = None,
     mesh=None,
     seed: int = 0,
+    prepare_fn=None,
 ) -> dict:
     """End-to-end GNN inference (inference.py analog): model forward under
     jit, ``infer_time(ms)`` + test accuracy of the (untrained, like the
-    reference — SURVEY.md §5.4) model."""
+    reference — SURVEY.md §5.4) model. ``prepare_fn(graph, config)``
+    overrides the default dispatch (``--version`` routing, compat.py)."""
     rep = reporter or DataReporter()
     graph = ds.graph
     x = jnp.asarray(ds.x, dtype=jnp.float32)
 
     t0 = time.perf_counter()
-    if mesh is not None:
+    if prepare_fn is not None:
+        prep = prepare_fn(graph, config)
+    elif mesh is not None:
         from pygim_tpu.parallel import prepare_spmm_2d
 
         prep = prepare_spmm_2d(graph, mesh, config)
     else:
         prep = prepare_spmm(graph, config or SpmmConfig())
     rep.report("prepare_pim_time(ms)", (time.perf_counter() - t0) * 1e3)
+    from pygim_tpu.compat import describe_layout
+
+    rep.report("layout", describe_layout(prep))
 
     gnn = make_gnn(
         jax.random.key(seed), model, ds.x.shape[1], hidden,

@@ -35,6 +35,10 @@ def run_scaling_benchmark(
     n_avail = len(jax.devices())
     if device_counts is None:
         device_counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_avail]
+    # a forced-CPU "mesh" is N virtual devices sharing one host's cores:
+    # it validates the sharded programs but CANNOT show real speedup —
+    # mark the ledger entry so efficiency numbers are read accordingly
+    rep.report("virtual_mesh", jax.devices()[0].platform == "cpu")
     rng = np.random.default_rng(0)
     x = jnp.asarray(
         rng.standard_normal((ds.graph.nrows, hidden)), dtype=jnp.float32

@@ -45,7 +45,9 @@ def prepare_pim_spmm(
     config: Optional[SpmmConfig] = None,
 ):
     """backend_pim/spmm.py:143 analog. ``adj``: CooGraph/CsrGraph."""
-    cfg = config or SpmmConfig(format=sp_format, backend=backend)
+    cfg = config or SpmmConfig(
+        format=sp_format, backend=backend, hidden_hint=hidden_size
+    )
     return _prepare(adj, sp_parts, ds_parts, cfg)
 
 
@@ -58,7 +60,9 @@ def prepare_pim_spmm_grande(
     across the feature shards; there is nothing to re-copy per run since
     the operand lives in HBM — the reference's per-run sparse reload is an
     explicit non-goal, SURVEY.md §7)."""
-    cfg = config or SpmmConfig(format="csr", backend="ell")
+    cfg = config or SpmmConfig(
+        format="csr", backend="ell", hidden_hint=hidden_size
+    )
     return _prepare(adj, 1, sp_parts, cfg)
 
 
@@ -69,13 +73,74 @@ def prepare_pim_spmv(
     """spmv.py:113 analog — every dense column an independent SpMV
     (SparseP). Degenerate ds = hidden config point; kept for API parity,
     not worth a separate kernel on TPU (SURVEY.md §2.3)."""
-    cfg = config or SpmmConfig(format="coo", backend="ell")
+    cfg = config or SpmmConfig(
+        format="coo", backend="ell", hidden_hint=hidden_size
+    )
     ds = min(hidden_size, max(1, len(jax.devices()) // max(1, sp_parts)))
     return _prepare(adj, sp_parts, ds, cfg)
+
+
+def prepare_for_version(
+    version: str,
+    adj,
+    *,
+    hidden_size: int = 256,
+    sp_parts: int = 1,
+    ds_parts: int = 1,
+    sp_format: str = "csr",
+    backend: str = "ell",
+    config: Optional[SpmmConfig] = None,
+    warn=print,
+):
+    """Route an entry-script ``--version`` flag to the matching prepared
+    operand (the reference dispatched to backend_pim/{spmm,grande,spmv}.py
+    by the same flag). Each version genuinely changes the distribution:
+
+    * ``spmm``  — (sp_parts × ds_parts) rank grid.
+    * ``grande``— sparse operand REPLICATED, features sharded over every
+      requested rank: mesh (1, sp_parts·ds_parts).
+    * ``spmv``  — per-column fleet: ds as close to hidden as devices allow.
+    * ``cpu``   — the jnp oracle formulation.
+    """
+    if version == "cpu":
+        return prepare_spmm(
+            adj, SpmmConfig(backend="oracle", format=sp_format)
+        )
+    n = sp_parts * ds_parts
+    if n > 1 and n > len(jax.devices()):
+        warn(
+            f"[WARN] sp×ds={n} exceeds {len(jax.devices())} devices; "
+            "running single-chip"
+        )
+    if version == "grande":
+        return prepare_pim_spmm_grande(
+            adj, hidden_size, sp_parts=n, config=config
+        )
+    if version == "spmv":
+        return prepare_pim_spmv(
+            adj, hidden_size, sp_parts=sp_parts, config=config
+        )
+    return prepare_pim_spmm(
+        adj, hidden_size, sp_parts=sp_parts, ds_parts=ds_parts,
+        sp_format=sp_format, backend=backend, config=config,
+    )
+
+
+def describe_layout(prep) -> str:
+    """Human/ledger-readable distribution of a prepared operand."""
+    mesh = getattr(prep, "mesh", None)
+    if mesh is None:
+        return "single-chip"
+    shape = dict(mesh.shape)
+    if "nodes" in shape:
+        return f"halo nd={shape['nodes']}"
+    return f"mesh sp={shape.get('sp', 1)} ds={shape.get('ds', 1)}"
 
 
 __all__ = [
     "prepare_pim_spmm",
     "prepare_pim_spmm_grande",
     "prepare_pim_spmv",
+    "prepare_for_version",
+    "describe_layout",
 ]

@@ -513,6 +513,88 @@ class PreparedSpmm:
         ``jax.jit(lambda x, dev: model_apply(x, lambda v: prep.raw_mul(v, dev)))``."""
         return self.raw_run(x, **dev)
 
+    def phase_times(self, x, iters: int = 3) -> dict:
+        """Measured sub-phase device times in ms — the TPU analog of the
+        reference's per-multiply timer slots (load_dense / kernel /
+        retrieve / alignment, spmm_mul_csr.c:563-580). Each phase is its
+        own jitted program over the prepared tables (one extra compile per
+        phase on first call):
+
+        * ``gather_time`` — gather-only scan over the edge column stream
+          (per-chunk row gathers + a register reduce; no merge writes).
+        * ``tail_time`` — the full ELL tail (gather+multiply+segment-sum).
+        * ``core_time`` / ``bcsr_time`` — hybrid dense tiers.
+        * ``mul_time`` — the production fused program.
+
+        Phases are independent measurements of overlapping work, not an
+        additive decomposition (XLA fuses the real program)."""
+        from pygim_tpu.utils.timers import device_time
+
+        d = self._dev
+        out = {"mul_time(ms)": device_time(self.mul, x, iters=iters) * 1e3}
+        b = self.config.backend
+
+        def gather_only(cols2d, chunk):
+            steps = cols2d.shape[0] // chunk
+
+            def fn(x, c):
+                def body(acc, cc):
+                    g = jnp.take(
+                        x, cc.reshape(-1), axis=0,
+                        indices_are_sorted=False, unique_indices=False,
+                    )
+                    return acc + g.astype(jnp.float32).sum(axis=0), None
+
+                acc, _ = jax.lax.scan(
+                    body, jnp.zeros((x.shape[1],), jnp.float32),
+                    c.reshape(steps, chunk, -1),
+                )
+                return acc
+
+            return jax.jit(fn)
+
+        if b in ("ell", "hybrid"):
+            chunk, degree = self.row_chunk, self.ell_degree
+            g = gather_only(d["cols2d"], chunk)
+            out["gather_time(ms)"] = (
+                device_time(g, x, d["cols2d"], iters=iters) * 1e3
+            )
+            tail = jax.jit(
+                lambda x, c, v, r: ell_scan_spmm(
+                    x, c, v, r, chunk, degree, self.nrows
+                )
+            )
+            out["tail_time(ms)"] = device_time(
+                tail, x, d["cols2d"], d["vals2d"], d["vrow_to_row"],
+                iters=iters,
+            ) * 1e3
+        if b == "hybrid" and self.hybrid_k_eff > 0:
+            core = jax.jit(
+                lambda x, c, n: jnp.dot(
+                    c, jnp.take(x, n, axis=0).astype(c.dtype),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+            out["core_time(ms)"] = device_time(
+                core, x, d["core"], d["core_nodes"], iters=iters
+            ) * 1e3
+        if b == "hybrid" and getattr(self, "has_bcsr", False):
+            bc = jax.jit(
+                lambda x, pn, t, pi, vb: bcsr_scan_spmm(
+                    x, pn, t, pi, vb, self.bcsr_n_rb, self.bcsr_step
+                )
+            )
+            out["bcsr_time(ms)"] = device_time(
+                bc, x, d["panel_nodes"], d["tiles"], d["panel_idx"],
+                d["vblock_to_rb"], iters=iters,
+            ) * 1e3
+        if b == "blocked":
+            g = gather_only(d["colind"], 1)  # one step per nnz block
+            out["gather_time(ms)"] = (
+                device_time(g, x, d["colind"], iters=iters) * 1e3
+            )
+        return out
+
 
 def _make_run(backend: str, prep: PreparedSpmm):
     nrows = prep.nrows

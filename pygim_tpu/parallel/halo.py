@@ -322,6 +322,58 @@ class PreparedSpmmHalo:
             raise ValueError(f"x rows {x.shape[0]} != nrows {self.nrows}")
         return self._run(x, self.dev_arrays)
 
+    def phase_times(self, x, iters: int = 3) -> dict:
+        """Measured exchange vs compute split (the reference's
+        load_dense/retrieve timer slots, spmm_mul_csr.c:563-580).
+
+        ``all_to_all``: ``local_time`` runs only the local-edge scan (no
+        exchange, no halo edges) — ``exchange_time`` is the difference.
+        ``all_gather``: ``exchange_time`` times the collective alone."""
+        from pygim_tpu.utils.timers import device_time
+
+        mesh, nd, rpd = self.mesh, self.nd, self.rows_per_dev
+        total = device_time(self.mul, x, iters=iters) * 1e3
+        out = {"mul_time(ms)": total}
+        xp = x
+        if self.n_pad != self.nrows:
+            xp = jnp.zeros((self.n_pad, x.shape[1]), dtype=x.dtype)
+            xp = xp.at[: self.nrows].set(x)
+        xp = jax.device_put(
+            xp.reshape(nd, rpd, -1), self._x_sharding
+        )
+        if self.exchange == "all_to_all":
+            lc, ld = self._local_chunk, self._local_degree
+
+            def local_only(lcols, lvals, lvrow, xl):
+                return ell_scan_spmm(
+                    xl[0], lcols[0], lvals[0], lvrow[0], lc, ld, rpd
+                )[None]
+
+            fn = jax.jit(jax.shard_map(
+                local_only, mesh=mesh, in_specs=(P("nodes"),) * 4,
+                out_specs=P("nodes"),
+            ))
+            d = self._dev
+            local = device_time(
+                fn, d["local_cols2d"], d["local_vals2d"],
+                d["local_vrow_to_row"], xp, iters=iters,
+            ) * 1e3
+            out["local_time(ms)"] = local
+            out["exchange_time(ms)"] = max(0.0, total - local)
+        else:
+            def gather_only(xl):
+                xf = jax.lax.all_gather(xl[0], "nodes", tiled=True)
+                return jnp.sum(xf, axis=0, dtype=jnp.float32)[None]
+
+            fn = jax.jit(jax.shard_map(
+                gather_only, mesh=mesh, in_specs=(P("nodes"),),
+                out_specs=P("nodes"),
+            ))
+            exch = device_time(fn, xp, iters=iters) * 1e3
+            out["exchange_time(ms)"] = exch
+            out["local_time(ms)"] = max(0.0, total - exch)
+        return out
+
 
 def prepare_spmm_halo(
     graph, mesh: Mesh, config: Optional[SpmmConfig] = None,

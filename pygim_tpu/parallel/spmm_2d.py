@@ -206,59 +206,75 @@ class PreparedSpmm2D:
         self.nrows_pad = round_up(self.nrows, sp) if scatter else self.nrows
         nrows = self.nrows_pad
 
-        def local_fn(cols2d, vals2d, vrow_to_row, x_local, *core_args):
-            # leading sp dim arrives as size-1 block; squeeze it
-            out = ell_scan_spmm(
-                x_local, cols2d[0], vals2d[0], vrow_to_row[0],
-                chunk, degree, nrows,
-            )
-            if hybrid:
-                core, core_rows, core_nodes = core_args
-                xc = jnp.take(x_local, core_rows[0], axis=0).astype(
-                    core.dtype
+        def mk_local_fn(merge: bool):
+            def local_fn(cols2d, vals2d, vrow_to_row, x_local, *core_args):
+                # leading sp dim arrives as size-1 block; squeeze it
+                out = ell_scan_spmm(
+                    x_local, cols2d[0], vals2d[0], vrow_to_row[0],
+                    chunk, degree, nrows,
                 )
-                co = jnp.dot(
-                    core[0], xc, preferred_element_type=jnp.float32
-                )
-                out = out.at[core_nodes].add(co.astype(out.dtype))
-            if scatter:
-                # reduce-scatter over sp: each shard keeps its row block
-                return jax.lax.psum_scatter(
-                    out, "sp", scatter_dimension=0, tiled=True
-                )
-            return jax.lax.psum(out, "sp")
+                if hybrid:
+                    core, core_rows, core_nodes = core_args
+                    xc = jnp.take(x_local, core_rows[0], axis=0).astype(
+                        core.dtype
+                    )
+                    co = jnp.dot(
+                        core[0], xc, preferred_element_type=jnp.float32
+                    )
+                    out = out.at[core_nodes].add(co.astype(out.dtype))
+                if not merge:
+                    return out  # per-shard partial (phase timing only)
+                if scatter:
+                    # reduce-scatter over sp: each shard keeps its row block
+                    return jax.lax.psum_scatter(
+                        out, "sp", scatter_dimension=0, tiled=True
+                    )
+                return jax.lax.psum(out, "sp")
+
+            return local_fn
 
         in_specs = [P("sp"), P("sp"), P("sp"), P("sp", "ds")]
         if hybrid:
             in_specs += [P("sp"), P("sp"), P()]
         shard_fn = jax.shard_map(
-            local_fn,
+            mk_local_fn(True),
             mesh=mesh,
             in_specs=tuple(in_specs),
             out_specs=P("sp", "ds") if scatter else P(None, "ds"),
         )
+        shard_fn_local = jax.shard_map(
+            mk_local_fn(False),
+            mesh=mesh,
+            in_specs=tuple(in_specs),
+            out_specs=P("sp", "ds"),
+        )
 
-        def run(x, dev):
-            # pad + reshard INSIDE the traced program — callable from a
-            # caller's jit (raw_mul) with no per-call host work; padding
-            # is a traced zeros+set, resharding a GSPMD constraint
-            h = x.shape[1]
-            h_pad = round_up(h, self.ds)
-            xp = x
-            if self.ncols_pad != x.shape[0] or h_pad != h:
-                xp = jnp.zeros((self.ncols_pad, h_pad), dtype=x.dtype)
-                xp = xp.at[: x.shape[0], :h].set(x)
-            xp = jax.lax.with_sharding_constraint(xp, self._x_sharding)
-            args = [dev["cols2d"], dev["vals2d"], dev["vrow_to_row"], xp]
-            if hybrid:
-                args += [dev["core"], dev["core_rows"], dev["core_nodes"]]
-            out = shard_fn(*args)
-            if scatter:
-                out = out[: self.nrows]
-            return out[:, :h] if h_pad != h else out
+        def mk_run(fn, trim_rows):
+            def run(x, dev):
+                # pad + reshard INSIDE the traced program — callable from a
+                # caller's jit (raw_mul) with no per-call host work; padding
+                # is a traced zeros+set, resharding a GSPMD constraint
+                h = x.shape[1]
+                h_pad = round_up(h, self.ds)
+                xp = x
+                if self.ncols_pad != x.shape[0] or h_pad != h:
+                    xp = jnp.zeros((self.ncols_pad, h_pad), dtype=x.dtype)
+                    xp = xp.at[: x.shape[0], :h].set(x)
+                xp = jax.lax.with_sharding_constraint(xp, self._x_sharding)
+                args = [dev["cols2d"], dev["vals2d"], dev["vrow_to_row"], xp]
+                if hybrid:
+                    args += [dev["core"], dev["core_rows"], dev["core_nodes"]]
+                out = fn(*args)
+                if trim_rows:
+                    out = out[: self.nrows]
+                return out[:, :h] if h_pad != h else out
 
-        self._raw_run = run
-        return jax.jit(run)
+            return run
+
+        self._raw_run = mk_run(shard_fn, scatter)
+        local_j = jax.jit(mk_run(shard_fn_local, False))
+        self._run_local = lambda x: local_j(x, self.dev_arrays)
+        return jax.jit(self._raw_run)
 
     @property
     def dev_arrays(self) -> dict:
@@ -282,6 +298,22 @@ class PreparedSpmm2D:
         if x.shape[0] != self.ncols:
             raise ValueError(f"x rows {x.shape[0]} != A cols {self.ncols}")
         return self._run(x, self.dev_arrays)
+
+    def phase_times(self, x, iters: int = 3) -> dict:
+        """Measured phase split: full mul vs the same program with the
+        sp-merge collective removed (each shard keeps its partial).
+        ``psum_time`` is the difference — the ICI merge cost the
+        reference accounted as its host memadd phase
+        (spmm_mul_csr.c:497-506)."""
+        from pygim_tpu.utils.timers import device_time
+
+        total = device_time(self.mul, x, iters=iters) * 1e3
+        local = device_time(self._run_local, x, iters=iters) * 1e3
+        return {
+            "mul_time(ms)": total,
+            "local_time(ms)": local,
+            "psum_time(ms)": max(0.0, total - local),
+        }
 
 
 def prepare_spmm_2d(

@@ -90,6 +90,51 @@ def predict_spmm_time(stats: dict, model: Optional[TpuCostModel] = None) -> floa
     return t
 
 
+def calibrate_from_phases(
+    stats: dict,
+    phases_ms: dict,
+    base: Optional[TpuCostModel] = None,
+    save: bool = False,
+) -> TpuCostModel:
+    """Fit the model's efficiency constants from MEASURED run-path phase
+    times (``PreparedSpmm.phase_times``) and the matching plan statistics
+    — closing the loop the reference closed with its per-phase timers
+    feeding the tuner's bandwidth table (spmm_mul_csr.c:563-580 →
+    autotuner.py:23-89)."""
+    m = base or TpuCostModel.default()
+    kw = dataclasses.asdict(m)
+    g = phases_ms.get("gather_time(ms)")
+    t = phases_ms.get("tail_time(ms)")
+    stream = stats["stream_bytes"] + stats.get("scatter_bytes", 0)
+    if g and t and g >= t:
+        # inconsistent probe (the standalone gather compiled worse than
+        # the fused scan — seen on the CPU backend where per-dispatch
+        # overhead dominates): fit ONE effective bandwidth from the
+        # fused tail phase instead
+        eff = max(
+            1e-4,
+            min(1.0, (stats["gather_bytes"] + stream) / (t * 1e-3)
+                / kw["hbm_bw"]),
+        )
+        kw["gather_eff"] = kw["stream_eff"] = eff
+    else:
+        if g and g > 0 and stats.get("gather_bytes"):
+            kw["gather_eff"] = max(
+                1e-4,
+                min(1.0, stats["gather_bytes"] / (g * 1e-3) / kw["hbm_bw"]),
+            )
+        if t and g is not None and t > g:
+            kw["stream_eff"] = max(
+                1e-4,
+                min(1.0, stream / ((t - g) * 1e-3) / kw["hbm_bw"]),
+            )
+    model = TpuCostModel(**kw)
+    if save:
+        _CACHE.parent.mkdir(parents=True, exist_ok=True)
+        _CACHE.write_text(json.dumps(dataclasses.asdict(model)))
+    return model
+
+
 def measure_constants(
     save: bool = True,
     n: int = 1 << 21,

@@ -39,6 +39,7 @@ def main(argv=None):
     print(args)
 
     from pygim_tpu.bench.runners import run_spmm_benchmark
+    from pygim_tpu.compat import prepare_for_version
     from pygim_tpu.data import load_dataset
     from pygim_tpu.ops.spmm import SpmmConfig
 
@@ -48,36 +49,30 @@ def main(argv=None):
     except KeyError as e:
         raise SystemExit(f"error: {e.args[0]}")
 
-    if args.version == "cpu":
-        cfg = SpmmConfig(backend="oracle", format=args.sp_format)
-    else:
+    cfg = None
+    if args.version != "cpu":
+        # default to the measured-best gather formulation (docs/PERF.md);
+        # --tune searches the space instead
         cfg = SpmmConfig(
-            backend="blocked", format=args.sp_format, balance=args.balance
+            backend="ell", format=args.sp_format, balance=args.balance,
+            hidden_hint=args.hidden_size,
         )
         if args.tune:
             from pygim_tpu.tune import autotune
 
             cfg = autotune(ds.graph, args.hidden_size).config
 
-    mesh = None
-    n_mesh = args.sp_parts * args.ds_parts
-    if n_mesh > 1:
-        import jax
-
-        from pygim_tpu.parallel import make_mesh
-
-        if n_mesh <= len(jax.devices()):
-            mesh = make_mesh(args.sp_parts, args.ds_parts)
-        else:
-            print(
-                f"[WARN] sp×ds={n_mesh} exceeds {len(jax.devices())} "
-                "devices; running single-chip"
-            )
+    def prepare_fn(graph, config):
+        return prepare_for_version(
+            args.version, graph, hidden_size=args.hidden_size,
+            sp_parts=args.sp_parts, ds_parts=args.ds_parts,
+            sp_format=args.sp_format, config=config,
+        )
 
     dtype = args.data_type if args.data_type != "float64" else "float32"
     run_spmm_benchmark(
         ds, hidden=args.hidden_size, dtype=dtype, config=cfg,
-        repeat=args.repeat, mesh=mesh,
+        repeat=args.repeat, prepare_fn=prepare_fn,
     )
 
 
