@@ -219,26 +219,45 @@ def load_mtx(path: str, dtype: str = "float32") -> CooGraph:
 
 
 def cluster_partition(
-    ds: GraphDataset, part_size: int, part_idx: int = 1
+    ds: GraphDataset, part_size: int, part_idx: int = 1,
+    method: str = "none",
 ) -> GraphDataset:
-    """Node-range cluster partitioning — the stand-in for the reference's
-    METIS-based ``ClusterData`` with ~500k-node parts where only partition
-    index 1 is used (inference.py:64-73). Induces the subgraph on one
-    contiguous node range (METIS-quality clustering is a planned upgrade;
-    contiguous ranges are exact for the synthetic R-MAT generators whose
-    locality is id-correlated)."""
+    """Cluster partitioning — the reference's METIS-based ``ClusterData``
+    with ~500k-node parts where only partition index 1 is used
+    (inference.py:64-73). ``method``:
+
+    * ``"none"`` — contiguous node ranges (exact for the synthetic R-MAT
+      generators whose locality is id-correlated).
+    * ``"rcm"`` / ``"lp"`` — cluster by a locality order first
+      (core/cluster.py), so each part is a genuine community/low-cut
+      cluster on graphs whose node ids carry no locality.
+    """
     n = ds.num_nodes
     nparts = max(1, -(-n // part_size))
     part_idx = min(part_idx, nparts - 1)
     lo = part_idx * part_size
     hi = min(n, lo + part_size)
     g = ds.graph
-    mask = (g.rows >= lo) & (g.rows < hi) & (g.cols >= lo) & (g.cols < hi)
-    sub = CooGraph.from_edges(
-        g.rows[mask] - lo, g.cols[mask] - lo, g.vals[mask],
-        nrows=hi - lo, ncols=hi - lo,
-    )
-    sl = slice(lo, hi)
+    if method != "none":
+        from pygim_tpu.core.cluster import locality_order
+
+        order = locality_order(g, method=method)
+        nodes = np.sort(order[lo:hi])  # this part's original node ids
+        pos = np.full(n, -1, dtype=np.int64)
+        pos[nodes] = np.arange(hi - lo)
+        mask = (pos[g.rows] >= 0) & (pos[g.cols] >= 0)
+        sub = CooGraph.from_edges(
+            pos[g.rows[mask]], pos[g.cols[mask]], g.vals[mask],
+            nrows=hi - lo, ncols=hi - lo,
+        )
+        sl = nodes
+    else:
+        mask = (g.rows >= lo) & (g.rows < hi) & (g.cols >= lo) & (g.cols < hi)
+        sub = CooGraph.from_edges(
+            g.rows[mask] - lo, g.cols[mask] - lo, g.vals[mask],
+            nrows=hi - lo, ncols=hi - lo,
+        )
+        sl = slice(lo, hi)
     return GraphDataset(
         name=f"{ds.name}-part{part_idx}", graph=sub, x=ds.x[sl], y=ds.y[sl],
         train_mask=ds.train_mask[sl], test_mask=ds.test_mask[sl],

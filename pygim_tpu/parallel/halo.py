@@ -56,14 +56,29 @@ class PreparedSpmmHalo:
 
     def __init__(
         self, graph, mesh: Mesh, config: Optional[SpmmConfig] = None,
-        exchange: str = "all_to_all",
+        exchange: str = "all_to_all", order=None,
     ):
         config = config or SpmmConfig()
-        if exchange not in ("all_gather", "all_to_all"):
+        if exchange not in ("all_gather", "all_to_all", "ring"):
             raise ValueError(f"unknown exchange {exchange!r}")
         self.mesh, self.config, self.exchange = mesh, config, exchange
         nd = mesh.shape["nodes"]
         self.nd = nd
+
+        # optional locality clustering (core/cluster.py — the METIS/
+        # ClusterData capability, inference.py:64-73): partition in the
+        # reordered space so contiguous ranges have small cuts; mul()
+        # still takes and returns ORIGINAL-order arrays (one in-jit
+        # gather each way)
+        if isinstance(order, str):
+            from pygim_tpu.core.cluster import locality_order
+
+            order = locality_order(graph, method=order)
+        self.order = order
+        if order is not None:
+            from pygim_tpu.core.cluster import relabel
+
+            graph = relabel(graph, order)
 
         csr = graph if isinstance(graph, CsrGraph) else graph.to_csr()
         if csr.nrows != csr.ncols:
@@ -99,10 +114,18 @@ class PreparedSpmmHalo:
                 )
             )
 
-        if exchange == "all_to_all":
+        if exchange in ("all_to_all", "ring"):
             self._plan_all_to_all(parts, bounds)
         else:
             self._plan_all_gather(parts)
+        if order is not None:
+            inv = np.empty(self.nrows, dtype=np.int32)
+            inv[np.asarray(order)] = np.arange(self.nrows, dtype=np.int32)
+            repl = NamedSharding(mesh, P())
+            self._dev["order"] = jax.device_put(
+                np.asarray(order, dtype=np.int32), repl
+            )
+            self._dev["inv_order"] = jax.device_put(inv, repl)
         self._x_sharding = NamedSharding(mesh, P("nodes"))
         self._run = self._build_run()
 
@@ -157,27 +180,62 @@ class PreparedSpmmHalo:
                 cols = np.unique(p.colind[owner == peer])
                 req.append(cols if peer != d else cols[:0])
             requests.append(req)
-        # pad: K = max over all (d, peer) request sizes, aligned
-        K = max(
-            (len(r) for req in requests for r in req), default=1
-        )
-        K = max(1, round_up(K, 8))
-        self.halo_k = K
+        ring = self.exchange == "ring"
+        if ring:
+            # RING exchange: nd-1 ppermute shifts, each with its OWN
+            # static buffer size K_s = max over devices of the request to
+            # the peer at that shift. On a locality-clustered partition
+            # the cut concentrates on adjacent shards, so far shifts cost
+            # ~nothing — fixing the global-max padding inflation of the
+            # single all_to_all (one dense pair inflated every device's
+            # buffer to nd·K).
+            ks = []
+            for s in range(1, nd):
+                k_s = max(
+                    len(requests[(d + s) % nd][d]) for d in range(nd)
+                )
+                ks.append(max(8, round_up(k_s, 8)) if k_s else 8)
+            self.ring_ks = ks
+            offsets = np.concatenate(
+                ([0], np.cumsum(ks))
+            ).astype(np.int64)
+            halo_rows = int(offsets[-1])
+            self.halo_k = halo_rows  # total recv rows per device
+            # send_idx_s[d]: local row ids d sends to peer (d+s)%nd
+            send_tabs = {}
+            for i, s in enumerate(range(1, nd)):
+                tab = np.zeros((nd, ks[i]), dtype=np.int32)
+                for d in range(nd):
+                    want = requests[(d + s) % nd][d]
+                    tab[d, : len(want)] = want - d * rpd
+                send_tabs[f"send_idx_{i}"] = jax.device_put(
+                    tab, NamedSharding(self.mesh, P("nodes"))
+                )
+        else:
+            # pad: K = max over all (d, peer) request sizes, aligned
+            K = max(
+                (len(r) for req in requests for r in req), default=1
+            )
+            K = max(1, round_up(K, 8))
+            self.halo_k = K
+            halo_rows = nd * K
 
-        # send_idx[d, peer, K]: LOCAL row ids device d must send to peer
-        # (peer requested them). recv layout: concat over peers -> halo
-        # buffer of shape (nd*K, H) on each device.
-        send_idx = np.zeros((nd, nd, K), dtype=np.int32)
-        for d in range(nd):
-            for peer in range(nd):
-                want = requests[peer][d]  # global ids owned by d, wanted by peer
-                send_idx[d, peer, : len(want)] = want - d * rpd
+            # send_idx[d, peer, K]: LOCAL row ids device d must send to
+            # peer (peer requested them). recv layout: concat over peers
+            # -> halo buffer of shape (nd*K, H) on each device.
+            send_idx = np.zeros((nd, nd, K), dtype=np.int32)
+            for d in range(nd):
+                for peer in range(nd):
+                    want = requests[peer][d]
+                    send_idx[d, peer, : len(want)] = want - d * rpd
+
         # remap each device's colind into [local | halo] index space:
         #   local col c (owner==d)  -> c - d*rpd
-        #   remote col c (owner==p) -> rpd + p*K + position in requests[d][p]
+        #   remote col c (owner==p) -> position in the halo buffer
+        #     (all_to_all: p*K + pos; ring: offsets[(d-p)%nd - 1] + pos)
         # split each part into LOCAL-only edges (computable before the
-        # exchange lands — XLA overlaps that ell scan with the all_to_all)
-        # and HALO edges (indices into the received (nd*K, H) buffer).
+        # exchange lands — XLA overlaps that ell scan with the in-flight
+        # collective) and HALO edges (indices into the received buffer).
         local_parts, halo_parts = [], []
         for d, p in enumerate(parts):
             owner = p.colind // rpd
@@ -194,7 +252,11 @@ class PreparedSpmmHalo:
                 if not sel.any():
                     continue
                 pos = np.searchsorted(requests[d][peer], p.colind[sel])
-                new_col[sel] = peer * K + pos  # index into the halo buffer
+                if ring:
+                    base = offsets[(d - peer) % nd - 1]
+                else:
+                    base = peer * K
+                new_col[sel] = base + pos
 
             def rebuild(mask, ncols):
                 counts = np.bincount(rows_of[mask], minlength=p.nrows)
@@ -206,7 +268,7 @@ class PreparedSpmmHalo:
                 )
 
             local_parts.append(rebuild(is_local, rpd))
-            halo_parts.append(rebuild(~is_local, nd * K))
+            halo_parts.append(rebuild(~is_local, halo_rows))
         local_tabs = self._ell_tables(local_parts, None)
         self._local_chunk = self.row_chunk
         self._local_degree = self.ell_degree
@@ -215,9 +277,12 @@ class PreparedSpmmHalo:
         self._halo_degree = self.ell_degree
         self._dev = {f"local_{k2}": v for k2, v in local_tabs.items()}
         self._dev.update({f"halo_{k2}": v for k2, v in halo_tabs.items()})
-        self._dev["send_idx"] = jax.device_put(
-            send_idx, NamedSharding(self.mesh, P("nodes"))
-        )
+        if ring:
+            self._dev.update(send_tabs)
+        else:
+            self._dev["send_idx"] = jax.device_put(
+                send_idx, NamedSharding(self.mesh, P("nodes"))
+            )
 
     # ------------------------------------------------------------ run fns
 
@@ -246,6 +311,50 @@ class PreparedSpmmHalo:
                     out_specs=P("nodes"),
                 )(
                     dev["cols2d"], dev["vals2d"], dev["vrow_to_row"], xp,
+                )
+
+        elif self.exchange == "ring":
+            lc, ld = self._local_chunk, self._local_degree
+            hc, hd = self._halo_chunk, self._halo_degree
+            n_shift = nd - 1
+
+            def local_fn(lcols, lvals, lvrow, hcols, hvals, hvrow,
+                         *rest):
+                send_tabs, x_local = rest[:n_shift], rest[n_shift]
+                x_loc = x_local[0]
+                # per-shift ppermute with per-shift buffer sizes; XLA
+                # overlaps the permutes with the local-edge scan
+                blocks = []
+                for i, s in enumerate(range(1, nd)):
+                    snd = jnp.take(
+                        x_loc, send_tabs[i][0].reshape(-1), axis=0
+                    )
+                    rcv = jax.lax.ppermute(
+                        snd, "nodes",
+                        perm=[(j, (j + s) % nd) for j in range(nd)],
+                    )
+                    blocks.append(rcv)
+                halo = jnp.concatenate(blocks, axis=0)
+                out = ell_scan_spmm(
+                    x_loc, lcols[0], lvals[0], lvrow[0], lc, ld, rpd
+                )
+                out = out + ell_scan_spmm(
+                    halo, hcols[0], hvals[0], hvrow[0], hc, hd, rpd
+                )
+                return out[None]
+
+            in_specs = (P("nodes"),) * (7 + nd - 1)
+
+            def runner(dev, xp):
+                return jax.shard_map(
+                    local_fn, mesh=mesh, in_specs=in_specs,
+                    out_specs=P("nodes"),
+                )(
+                    dev["local_cols2d"], dev["local_vals2d"],
+                    dev["local_vrow_to_row"], dev["halo_cols2d"],
+                    dev["halo_vals2d"], dev["halo_vrow_to_row"],
+                    *[dev[f"send_idx_{i}"] for i in range(nd - 1)],
+                    xp,
                 )
 
         else:
@@ -289,19 +398,26 @@ class PreparedSpmmHalo:
                     dev["send_idx"], xp,
                 )
 
+        permuted = self.order is not None
+
         def run(x, dev):
             # pad + reshard INSIDE the traced program (callable from a
             # caller's jit via raw_mul — no per-call host work)
             xp = x
+            if permuted:  # original order -> cluster order
+                xp = jnp.take(xp, dev["order"], axis=0)
             if self.n_pad != x.shape[0]:
-                xp = jnp.zeros((self.n_pad, x.shape[1]), dtype=x.dtype)
-                xp = xp.at[: x.shape[0]].set(x)
+                xp2 = jnp.zeros((self.n_pad, x.shape[1]), dtype=x.dtype)
+                xp = xp2.at[: x.shape[0]].set(xp)
             xp = jax.lax.with_sharding_constraint(
                 xp.reshape(self.nd, self.rows_per_dev, -1),
                 self._x_sharding,
             )
             out = runner(dev, xp)
-            return out.reshape(self.n_pad, -1)[: self.nrows]
+            out = out.reshape(self.n_pad, -1)[: self.nrows]
+            if permuted:  # back to original order
+                out = jnp.take(out, dev["inv_order"], axis=0)
+            return out
 
         self._raw_run = run
         return jax.jit(run)
@@ -341,7 +457,7 @@ class PreparedSpmmHalo:
         xp = jax.device_put(
             xp.reshape(nd, rpd, -1), self._x_sharding
         )
-        if self.exchange == "all_to_all":
+        if self.exchange in ("all_to_all", "ring"):
             lc, ld = self._local_chunk, self._local_degree
 
             def local_only(lcols, lvals, lvrow, xl):
@@ -377,6 +493,9 @@ class PreparedSpmmHalo:
 
 def prepare_spmm_halo(
     graph, mesh: Mesh, config: Optional[SpmmConfig] = None,
-    exchange: str = "all_to_all",
+    exchange: str = "all_to_all", order=None,
 ) -> PreparedSpmmHalo:
-    return PreparedSpmmHalo(graph, mesh, config, exchange)
+    """``order``: None (contiguous ids), a permutation array, or a
+    locality method name ("rcm" / "lp" — core/cluster.py) used to
+    cluster-partition the rows before sharding."""
+    return PreparedSpmmHalo(graph, mesh, config, exchange, order=order)

@@ -172,6 +172,7 @@ def plan_statistics(
     )
 
     # ---- collective volume per device (rides ICI) ----
+    n_collectives = 1
     if plan.layout == "2d" and sp > 1:
         merge_rows = csr.nrows * h_local * dtype_bytes
         frac = (sp - 1) / sp
@@ -185,14 +186,16 @@ def plan_statistics(
             halo_stats = memo.setdefault(
                 ("halo", sp), halo_statistics(csr, sp)
             )
-        rows = (
-            halo_stats["a2a_recv_rows"]
-            if plan.exchange == "all_to_all"
-            else halo_stats["ag_recv_rows"]
-        )
+        rows = {
+            "all_to_all": halo_stats["a2a_recv_rows"],
+            "ring": halo_stats["ring_recv_rows"],
+            "all_gather": halo_stats["ag_recv_rows"],
+        }[plan.exchange]
         psum_bytes = rows * hidden * dtype_bytes
+        n_collectives = sp - 1 if plan.exchange == "ring" else 1
     else:
         psum_bytes = 0
+        n_collectives = 1
 
     # rough per-device HBM residency, for the hbm budget cap: sparse
     # tables + core + x slice + output slice
@@ -217,7 +220,7 @@ def plan_statistics(
         "mean_nnz_per_block": float(nnz_per_block.mean()) if nb else 0.0,
         "pad_fraction": float(padded_nnz / max(1, csr.nnz)) - 1.0,
         "n_blocks": nb,
-        "n_dispatch": 1,
+        "n_dispatch": n_collectives,
         "rows_pad": plan_rb.rows_pad,
         "nnz_pad": plan_rb.nnz_pad,
     }

@@ -84,6 +84,7 @@ def enumerate_dist(
     if "halo" in layouts:
         plans.append(DistPlan("halo", n_devices, 1, exchange="all_gather"))
         plans.append(DistPlan("halo", n_devices, 1, exchange="all_to_all"))
+        plans.append(DistPlan("halo", n_devices, 1, exchange="ring"))
     return plans
 
 
@@ -112,16 +113,27 @@ def halo_statistics(csr: CsrGraph, nd: int) -> dict:
             remote
         ].astype(np.int64)
         pair = np.unique(key) // csr.ncols
-        counts = np.bincount(pair, minlength=nd * nd)
+        counts = np.bincount(pair, minlength=nd * nd).reshape(nd, nd)
         k = int(counts.max())
         total_unique = int(counts.sum())
+        # ring exchange: per-shift buffer K_s = max over receivers of the
+        # request at that shift (parallel/halo.py ring plan); total recv
+        # rows = Σ_s K_s — no global-max inflation
+        ring_rows = 0
+        for s in range(1, nd):
+            k_s = int(
+                max(counts[(d + s) % nd, d] for d in range(nd))
+            )
+            ring_rows += max(8, round_up(k_s, 8)) if k_s else 8
     else:
         k, total_unique = 0, 0
+        ring_rows = 8 * (nd - 1)
     k_pad = max(1, round_up(k, 8))
     return {
         "halo_k": k_pad,
         # rows RECEIVED per device per multiply, with padding inflation
         "a2a_recv_rows": nd * k_pad,
+        "ring_recv_rows": ring_rows,
         "ag_recv_rows": n_pad - rpd,
         "cut_rows_total": total_unique,
         "local_edge_fraction": float((~remote).sum() / max(1, csr.nnz)),

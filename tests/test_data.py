@@ -61,3 +61,95 @@ def test_load_mtx(tmp_path):
     assert g.nrows == 3 and g.nnz == 3
     dense = g.to_dense()
     assert dense[0, 1] == 1.5 and dense[2, 0] == 3.5
+
+
+class TestLocalityCluster:
+    """core/cluster.py — the METIS/ClusterData capability
+    (reference inference.py:64-73) as cheap locality orders."""
+
+    def _scrambled_rmat(self, rng, n=4096, e=40000):
+        from pygim_tpu.core.cluster import relabel
+        from pygim_tpu.data.datasets import rmat_edges
+        from pygim_tpu.core.graph import CooGraph
+
+        rows, cols = rmat_edges(n, e, seed=3)
+        g = CooGraph.from_edges(rows, cols, nrows=n, ncols=n)
+        # destroy the generator's id-correlated locality
+        return relabel(g, rng.permutation(n))
+
+    def _scrambled_communities(self, rng, n=4096, nc=8, deg=8, p_intra=0.95):
+        """Block-community graph with node ids scrambled — the shape
+        METIS/ClusterData existed for."""
+        from pygim_tpu.core.cluster import relabel
+        from pygim_tpu.core.graph import CooGraph
+
+        w = n // nc
+        rows = np.repeat(np.arange(n), deg)
+        intra = rng.random(rows.size) < p_intra
+        cols = np.where(
+            intra,
+            (rows // w) * w + rng.integers(0, w, rows.size),
+            rng.integers(0, n, rows.size),
+        )
+        g = CooGraph.from_edges(rows, cols, nrows=n, ncols=n)
+        return relabel(g, rng.permutation(n))
+
+    def test_rcm_reduces_halo_cut(self, rng):
+        from pygim_tpu.core.cluster import locality_order, relabel
+        from pygim_tpu.tune import halo_statistics
+
+        g = self._scrambled_communities(rng)
+        base = halo_statistics(g.to_csr(), 8)
+        ordered = relabel(g, locality_order(g, "rcm"))
+        better = halo_statistics(ordered.to_csr(), 8)
+        # RCM recovers the communities: most edges become shard-local,
+        # the true cut shrinks, and the per-shift ring exchange buffer
+        # beats the scrambled all_to_all's
+        assert better["cut_rows_total"] < base["cut_rows_total"]
+        assert (
+            better["local_edge_fraction"] > base["local_edge_fraction"]
+        )
+        assert better["ring_recv_rows"] < base["a2a_recv_rows"]
+
+    def test_lp_order_is_permutation(self, rng):
+        from pygim_tpu.core.cluster import locality_order
+
+        g = self._scrambled_rmat(rng, n=512, e=4000)
+        order = locality_order(g, "lp")
+        assert sorted(order.tolist()) == list(range(512))
+
+    def test_halo_with_order_matches_dense(self, rng):
+        import jax.numpy as jnp
+
+        from pygim_tpu.ops.spmm import SpmmConfig
+        from pygim_tpu.parallel.halo import make_node_mesh, prepare_spmm_halo
+
+        g = self._scrambled_rmat(rng, n=256, e=2000)
+        x = rng.standard_normal((256, 8)).astype(np.float32)
+        dense = g.to_dense().astype(np.float64)
+        for exch in ("all_to_all", "all_gather"):
+            prep = prepare_spmm_halo(
+                g, make_node_mesh(4), SpmmConfig(n_blocks=1),
+                exchange=exch, order="rcm",
+            )
+            np.testing.assert_allclose(
+                np.asarray(prep.mul(jnp.asarray(x))), dense @ x,
+                rtol=1e-4, atol=1e-4,
+            )
+
+    def test_cluster_partition_method(self, rng):
+        from pygim_tpu.data import cluster_partition
+        from pygim_tpu.data.datasets import GraphDataset
+
+        g = self._scrambled_communities(rng)
+        n = g.nrows
+        ds = GraphDataset(
+            name="t", graph=g, x=rng.standard_normal((n, 4)).astype(np.float32),
+            y=np.zeros(n, np.int64), train_mask=np.zeros(n, bool),
+            test_mask=np.zeros(n, bool), num_classes=2, synthetic=True,
+        )
+        flat = cluster_partition(ds, part_size=n // 8, part_idx=1)
+        clus = cluster_partition(ds, part_size=n // 8, part_idx=1, method="rcm")
+        # a locality-clustered part captures more of its nodes' edges
+        assert clus.graph.nnz > flat.graph.nnz
+        assert clus.x.shape == flat.x.shape

@@ -86,3 +86,47 @@ def test_halo_trailing_empty_shards(rng, exchange):
     )
     out = np.asarray(prep.mul(jnp.asarray(x)))
     np.testing.assert_allclose(out, _dense_ref(coo, x), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("order", [None, "rcm"])
+def test_halo_ring_exchange_matches_dense(rng, order):
+    """Ring exchange (per-shift ppermute with per-shift buffer sizes)
+    matches the dense oracle, with and without locality ordering."""
+    coo = random_coo(rng, nrows=96, ncols=96, nnz=700)
+    x = rng.standard_normal((96, 8)).astype(np.float32)
+    prep = prepare_spmm_halo(
+        coo, make_node_mesh(4), SpmmConfig(n_blocks=1),
+        exchange="ring", order=order,
+    )
+    np.testing.assert_allclose(
+        np.asarray(prep.mul(jnp.asarray(x))), _dense_ref(coo, x),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_halo_ring_buffer_smaller_on_clustered(rng):
+    """On a block-diagonal-ish graph the ring's total recv buffer is no
+    larger than the all_to_all's global-max-padded one."""
+    n, nd = 256, 4
+    rpd = n // nd
+    rows = np.repeat(np.arange(n), 6)
+    cols = (rows // rpd) * rpd + rng.integers(0, rpd, rows.size)
+    # a few cross edges only to device+1
+    rows = np.concatenate([rows, np.arange(0, n - rpd)])
+    cols = np.concatenate([cols, np.arange(rpd, n)])
+    from pygim_tpu.core.graph import CooGraph
+
+    coo = CooGraph.from_edges(rows, cols, nrows=n, ncols=n)
+    ring = prepare_spmm_halo(
+        coo, make_node_mesh(nd), SpmmConfig(n_blocks=1), exchange="ring"
+    )
+    a2a = prepare_spmm_halo(
+        coo, make_node_mesh(nd), SpmmConfig(n_blocks=1),
+        exchange="all_to_all",
+    )
+    assert ring.halo_k <= nd * a2a.halo_k
+    x = rng.standard_normal((n, 8)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(ring.mul(jnp.asarray(x))), _dense_ref(coo, x),
+        rtol=1e-4, atol=1e-4,
+    )

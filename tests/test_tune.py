@@ -146,7 +146,7 @@ class TestDistTuning:
         assert ("halo", 8, 1) in shapes and ("single", 1, 1) in shapes
         assert any(p.scatter_output for p in plans)
         exch = {p.exchange for p in plans if p.layout == "halo"}
-        assert exch == {"all_gather", "all_to_all"}
+        assert exch == {"all_gather", "all_to_all", "ring"}
 
     def test_halo_statistics_cut(self, rng):
         from pygim_tpu.tune import halo_statistics
