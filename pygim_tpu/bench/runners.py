@@ -189,9 +189,11 @@ def run_inference_benchmark(
     # over prep.mul would bake them in as giant HLO constants. The mesh
     # preps (2d / halo) implement the same dev_arrays/raw_mul contract,
     # so single-chip and multi-chip forwards both compile to ONE program.
+    from pygim_tpu.ops.spmm import PreparedAggregate
+
     dev = prep.dev_arrays
     fwd_j = jax.jit(
-        lambda x, dev: gnn.apply(x, lambda v: prep.raw_mul(v, dev))
+        lambda x, dev: gnn.apply(x, PreparedAggregate(prep, dev))
     )
     fwd = lambda x: fwd_j(x, dev)
     dt = device_time(fwd, x, iters=repeat)

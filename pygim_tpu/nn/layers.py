@@ -22,7 +22,11 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from pygim_tpu.quant import symmetric_dequantize, symmetric_quantize
+from pygim_tpu.quant import (
+    _SCALE_EXP,
+    symmetric_dequantize,
+    symmetric_quantize,
+)
 
 Aggregate = Callable[[jnp.ndarray], jnp.ndarray]  # x -> A @ x
 
@@ -97,7 +101,19 @@ def quantized_aggregate(aggregate: Aggregate, x, agg_dtype=None):
     ``agg_dtype`` plays the role of ``adj_t.dtype`` in the reference: the
     aggregation runs in this dtype (int8/int16/int32 quantized, bfloat16
     cast, or None = run in x's own dtype). ``scale_edge`` is fixed at 1.0
-    as in all three reference conv layers."""
+    as in all three reference conv layers.
+
+    When the aggregate exposes the fused hook
+    (:class:`pygim_tpu.ops.spmm.PreparedAggregate`), the quantize
+    round-trip folds into the scan body — bit-identical, no (N, H)
+    quantized copy of x materialized."""
+    if agg_dtype is not None:
+        name = jnp.dtype(agg_dtype).name
+        fused = getattr(aggregate, "quantized", None)
+        if fused is not None and name in _SCALE_EXP:
+            out = fused(x, name)
+            if out is not None:
+                return out.astype(x.dtype)
     scale, x_q = symmetric_quantize(x, agg_dtype)
     out_q = aggregate(x_q)
     out = symmetric_dequantize(out_q, 1.0, scale)

@@ -102,6 +102,43 @@ def blocked_spmm(colind, vals, rowloc, row_slot, x, rows_pad: int):
     return jnp.take(flat, row_slot, axis=0)
 
 
+def ell_scan_spmm_quant(
+    x, q_scale, q_dtype, cols2d, vals2d, vrow_to_row, chunk, degree, nrows
+):
+    """ELL scan with symmetric quantization FUSED into the gather
+    consumer: each gathered block is ``round(g / q_scale)`` cast to the
+    integer dtype in registers — bit-identical to quantizing x up front
+    (same rounding, same integer accumulation) but the (N, H) quantized
+    copy of x is never materialized and no separate dequantize pass runs
+    (the reference's quantize-in-aggregate hook, pyg_gcn_conv.py:130-137,
+    taken one step further)."""
+    acc = accum_dtype(jnp.result_type(vals2d.dtype, jnp.dtype(q_dtype)))
+    h = x.shape[1]
+    n_steps = cols2d.shape[0] // chunk
+
+    def body(_, blk):
+        c, v = blk
+        g = jnp.take(x, c.reshape(-1), axis=0).reshape(chunk, degree, h)
+        # divide (not multiply-by-reciprocal): bit-identical rounding
+        # to the unfused symmetric_quantize (quant/__init__.py:40)
+        q = jnp.round(g / q_scale).astype(q_dtype)
+        return None, jnp.sum(
+            q.astype(acc) * v[..., None].astype(acc), axis=1
+        )
+
+    _, partial = jax.lax.scan(
+        body, None,
+        (
+            cols2d.reshape(n_steps, chunk, degree),
+            vals2d.reshape(n_steps, chunk, degree),
+        ),
+    )
+    return jax.ops.segment_sum(
+        partial.reshape(-1, h), vrow_to_row,
+        num_segments=nrows, indices_are_sorted=True,
+    )
+
+
 def ell_scan_spmm(x, cols2d, vals2d, vrow_to_row, chunk, degree, nrows):
     """The ell backend's compute body (shared with the hybrid tail):
     fixed-degree gather + fused weighted reduce under ``lax.scan``, then
@@ -131,7 +168,7 @@ def ell_scan_spmm(x, cols2d, vals2d, vrow_to_row, chunk, degree, nrows):
 
 
 def bcsr_scan_spmm(x, panel_nodes, tiles, panel_idx, vblock_to_rb,
-                   n_rb: int, step: int):
+                   n_rb: int, step: int, q_scale=None):
     """BCSR tile tier compute body (core/bcsr.py tables).
 
     One panel-table gather amortizes each gather issue over a contiguous
@@ -141,7 +178,10 @@ def bcsr_scan_spmm(x, panel_nodes, tiles, panel_idx, vblock_to_rb,
     """
     h = x.shape[1]
     n_vb, s, tr, tc = tiles.shape
-    x_panels = jnp.take(x, panel_nodes, axis=0).reshape(-1, tc, h)
+    x_panels = jnp.take(x, panel_nodes, axis=0)
+    if q_scale is not None:  # fused symmetric quantization (exact /)
+        x_panels = jnp.round(x_panels / q_scale)
+    x_panels = x_panels.reshape(-1, tc, h)
     n_steps = n_vb // step
     tiles_s = tiles.reshape(n_steps, step, s, tr, tc)
     pidx_s = panel_idx.reshape(n_steps, step, s)
@@ -513,6 +553,72 @@ class PreparedSpmm:
         ``jax.jit(lambda x, dev: model_apply(x, lambda v: prep.raw_mul(v, dev)))``."""
         return self.raw_run(x, **dev)
 
+    @property
+    def supports_fused_quant(self) -> bool:
+        """True when :meth:`raw_mul_quantized` can fold symmetric int
+        quantization into the aggregate body (ell / hybrid backends)."""
+        return self.config.backend in ("ell", "hybrid")
+
+    def raw_mul_quantized(self, x, dev: dict, agg_dtype: str):
+        """Fused quantize → A·x → dequantize, bit-identical to
+        ``symmetric_dequantize(raw_mul(symmetric_quantize(x)[1]), 1, s)``
+        but without materializing the (N, H) quantized copy of x or a
+        separate dequantize pass: the rounding runs on each gathered
+        block in registers (VPU work fused into the gather stream; the
+        gather itself is issue-bound, so reading f32 rows instead of
+        int8 costs nothing — docs/PERF.md). ``x`` is float; returns the
+        dequantized float product."""
+        from pygim_tpu.quant import _SCALE_EXP
+
+        if not self.supports_fused_quant:
+            raise ValueError(
+                f"fused quantization unsupported for backend "
+                f"{self.config.backend!r}"
+            )
+        name = jnp.dtype(agg_dtype).name
+        k = _SCALE_EXP.get(name, 20)
+        q_dtype = name if name in _SCALE_EXP or name == "int64" else None
+        abs_max = jnp.max(jnp.abs(x))
+        scale = abs_max * 2.0 / (2.0 ** k)
+        safe = jnp.where(scale == 0, jnp.ones_like(scale), scale)
+        qdt = q_dtype or x.dtype
+        chunk, degree = self.row_chunk, self.ell_degree
+        out = ell_scan_spmm_quant(
+            x, safe, qdt, dev["cols2d"], dev["vals2d"], dev["vrow_to_row"],
+            chunk, degree, self.nrows,
+        )
+        if self.config.backend == "hybrid":
+            acc = accum_dtype(jnp.result_type(jnp.float32, jnp.dtype(qdt)))
+            if self.hybrid_k_eff > 0:
+                core, core_nodes = dev["core"], dev["core_nodes"]
+                xc = jnp.round(
+                    jnp.take(x, core_nodes, axis=0) / safe
+                ).astype(core.dtype)
+                core_out = jnp.dot(core, xc, preferred_element_type=acc)
+                out = out.at[core_nodes].add(core_out.astype(out.dtype))
+            if getattr(self, "has_bcsr", False):
+                b = bcsr_scan_spmm(
+                    x, dev["panel_nodes"], dev["tiles"], dev["panel_idx"],
+                    dev["vblock_to_rb"], self.bcsr_n_rb, self.bcsr_step,
+                    q_scale=safe,
+                )
+                out = out.at[dev["row_nodes"]].add(
+                    b.reshape(-1, x.shape[1]).astype(out.dtype)
+                )
+        # dequantize (scale_edge = 1.0 as in the reference conv layers);
+        # scale==0 ⇒ all-zero input ⇒ out·0 = the correct zeros
+        return out * scale
+
+    def mul_quantized(self, x, agg_dtype: str):
+        """Jitted convenience wrapper over :meth:`raw_mul_quantized`."""
+        key = ("qrun", str(agg_dtype))
+        cache = self.__dict__.setdefault("_qruns", {})
+        if key not in cache:
+            cache[key] = jax.jit(
+                lambda x, dev: self.raw_mul_quantized(x, dev, agg_dtype)
+            )
+        return cache[key](x, self._dev)
+
     def phase_times(self, x, iters: int = 3) -> dict:
         """Measured sub-phase device times in ms — the TPU analog of the
         reference's per-multiply timer slots (load_dense / kernel /
@@ -594,6 +700,28 @@ class PreparedSpmm:
                 device_time(g, x, d["colind"], iters=iters) * 1e3
             )
         return out
+
+
+class PreparedAggregate:
+    """Callable aggregate ``v -> A·v`` bound to (prep, dev tables), for
+    threading through a caller's jit; exposes the fused-quantization hook
+    the conv layers probe (:func:`pygim_tpu.nn.layers.quantized_aggregate`).
+    Works for the single-chip AND mesh preps (the latter fall back to the
+    unfused quantize path)."""
+
+    def __init__(self, prep, dev=None):
+        self.prep = prep
+        self.dev = prep.dev_arrays if dev is None else dev
+
+    def __call__(self, v):
+        return self.prep.raw_mul(v, self.dev)
+
+    def quantized(self, v, agg_dtype: str):
+        """Fused quantize→aggregate→dequantize, or None when the backend
+        can't fuse (caller falls back to the unfused path)."""
+        if getattr(self.prep, "supports_fused_quant", False):
+            return self.prep.raw_mul_quantized(v, self.dev, agg_dtype)
+        return None
 
 
 def _make_run(backend: str, prep: PreparedSpmm):

@@ -350,3 +350,82 @@ class TestBcsrTier:
         assert min_edges_per_tile(8, 256) > min_edges_per_tile(8, 32)
         # bf16 tiles cheaper than f32
         assert min_edges_per_tile(32, 256, 2) <= min_edges_per_tile(32, 256, 4)
+
+
+class TestFusedQuant:
+    """Fused quantize→aggregate→dequantize (raw_mul_quantized): bit-
+    identical to the unfused round-trip, no (N,H) quantized copy."""
+
+    @pytest.mark.parametrize("dtype", ["int8", "int16", "int32"])
+    def test_ell_bit_identical(self, rng, dtype):
+        import jax.numpy as jnp
+
+        from pygim_tpu.quant import symmetric_dequantize, symmetric_quantize
+
+        coo = random_coo(rng, nrows=300, ncols=300, nnz=4000)
+        prep = prepare_spmm(coo, SpmmConfig(backend="ell", hidden_hint=16))
+        x = jnp.asarray(
+            rng.standard_normal((300, 16)), dtype=jnp.float32
+        )
+        scale, x_q = symmetric_quantize(x, dtype)
+        unfused = symmetric_dequantize(prep.mul(x_q), 1.0, scale)
+        fused = prep.mul_quantized(x, dtype)
+        np.testing.assert_array_equal(
+            np.asarray(fused), np.asarray(unfused)
+        )
+
+    def test_hybrid_three_tier_bit_identical(self, rng):
+        import jax.numpy as jnp
+
+        from pygim_tpu.quant import symmetric_dequantize, symmetric_quantize
+
+        # all three tiers active (mirror of TestBcsrTier setup)
+        n = 400
+        rows = np.concatenate([
+            np.repeat(np.arange(n), 10),
+            np.repeat(np.arange(8), 150),
+        ]).astype(np.int32)
+        cols = np.concatenate([
+            (np.repeat(np.arange(n), 10)
+             + rng.integers(0, 48, n * 10)) % n,
+            rng.integers(0, n, 8 * 150),
+        ]).astype(np.int32)
+        from pygim_tpu.core.graph import CooGraph
+
+        coo = CooGraph(
+            rows=rows, cols=cols,
+            vals=rng.standard_normal(rows.size).astype(np.float32),
+            nrows=n, ncols=n,
+        )
+        cfg = SpmmConfig(
+            backend="hybrid", hybrid_k=64, bcsr_bytes=16 << 20,
+            bcsr_tile=8, bcsr_min_edges=3, hidden_hint=16,
+        )
+        prep = prepare_spmm(coo, cfg)
+        assert prep.has_bcsr and prep.hybrid_k_eff == 64
+        x = jnp.asarray(rng.standard_normal((n, 16)), dtype=jnp.float32)
+        scale, x_q = symmetric_quantize(x, "int8")
+        unfused = symmetric_dequantize(prep.mul(x_q), 1.0, scale)
+        fused = prep.mul_quantized(x, "int8")
+        np.testing.assert_array_equal(
+            np.asarray(fused), np.asarray(unfused)
+        )
+
+    def test_layer_hook_uses_fused(self, rng):
+        """quantized_aggregate routes through the fused hook when the
+        aggregate is a PreparedAggregate, same numbers as the plain
+        callable path."""
+        import jax.numpy as jnp
+
+        from pygim_tpu.nn.layers import quantized_aggregate
+        from pygim_tpu.ops.spmm import PreparedAggregate
+
+        coo = random_coo(rng, nrows=200, ncols=200, nnz=2000)
+        prep = prepare_spmm(coo, SpmmConfig(backend="ell", hidden_hint=8))
+        x = jnp.asarray(rng.standard_normal((200, 8)), dtype=jnp.float32)
+        agg = PreparedAggregate(prep)
+        out_fused = quantized_aggregate(agg, x, "int16")
+        out_plain = quantized_aggregate(lambda v: prep.mul(v), x, "int16")
+        np.testing.assert_array_equal(
+            np.asarray(out_fused), np.asarray(out_plain)
+        )
