@@ -19,9 +19,11 @@ BASELINE_EXPERIMENTS = [
     # breakdown the reference emitted per multiply)
     Experiment(dataset="reddit", kind="spmm", sp_format="csr",
                dtype="float32", hidden=256, backend="hybrid", phases=True),
-    # (2) 2-layer GCN Reddit FLT32
+    # (2) 2-layer GCN Reddit FLT32 (with the per-layer activation check
+    # the BASELINE validation clause requires)
     Experiment(dataset="reddit", kind="inference", model="gcn",
-               num_layers=2, dtype="float32", hidden=256, backend="hybrid"),
+               num_layers=2, dtype="float32", hidden=256, backend="hybrid",
+               validate=True),
     # (3) GIN + SAGE on ogbn-arxiv, COO vs CSR, autotuned
     Experiment(dataset="ogbn-arxiv", kind="inference", model="gin",
                sp_format="coo", tune=True),
@@ -31,7 +33,7 @@ BASELINE_EXPERIMENTS = [
     # middle tier covers the flat part of its degree distribution
     Experiment(dataset="ogbn-products", kind="inference", model="gcn",
                dtype="int8", backend="hybrid", hybrid_dtype="bfloat16",
-               bcsr_bytes=4 << 30),
+               bcsr_bytes=4 << 30, validate=True),
     # (5) ogbn-papers100M GCN edge-partitioned multi-host with ICI halo
     # exchange — rehearsal scale: an R-MAT with papers100M's density
     # (~14.5 edges/node) sized so one shard fits the virtual-mesh hosts;

@@ -53,6 +53,7 @@ class Experiment:
     bcsr_bytes: int = 0                # hybrid BCSR middle-tier budget
     exchange: str = "all_to_all"       # scaling kind: halo exchange
     phases: bool = False               # spmm kind: per-phase [DATA] times
+    validate: bool = False             # inference kind: per-layer check
     repeat: int = 3
     tune: bool = False
 
@@ -129,6 +130,7 @@ class Experiment:
                     hidden=self.hidden,
                     agg_dtype=None if self.dtype == "float32" else self.dtype,
                     config=cfg, repeat=self.repeat, reporter=rep, mesh=mesh,
+                    validate=self.validate,
                 )
             elif self.kind == "scaling":
                 from pygim_tpu.bench.scaling import run_scaling_benchmark

@@ -158,6 +158,7 @@ def run_inference_benchmark(
     mesh=None,
     seed: int = 0,
     prepare_fn=None,
+    validate: bool = False,
 ) -> dict:
     """End-to-end GNN inference (inference.py analog): model forward under
     jit, ``infer_time(ms)`` + test accuracy of the (untrained, like the
@@ -202,6 +203,16 @@ def run_inference_benchmark(
 
     logits = np.asarray(fwd(x))
     rep.report("test_acc", evaluate_predictions(ds, logits))
+    if validate:
+        # per-layer aggregate check vs host CSR on sampled rows — the
+        # BASELINE "per-layer activations allclose" clause at any scale
+        from pygim_tpu.bench.validate import validate_inference_sampled
+
+        ok = validate_inference_sampled(
+            graph, gnn, x, lambda v: prep.mul(v), reporter=rep,
+        )
+        if not ok:
+            raise AssertionError("per-layer validation failed")
     return rep.means()
 
 

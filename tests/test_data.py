@@ -153,3 +153,67 @@ class TestLocalityCluster:
         # a locality-clustered part captures more of its nodes' edges
         assert clus.graph.nnz > flat.graph.nnz
         assert clus.x.shape == flat.x.shape
+
+
+def test_real_dataset_path_with_mocked_pyg(tmp_path, monkeypatch):
+    """_try_real_dataset's PyG/OGB code path, driven by a mocked
+    torch_geometric module (no network in this environment — VERDICT
+    missing #6: the path had never executed). Asserts the adj_t
+    row=destination convention and mask plumbing."""
+    import sys
+    import types
+
+    import torch
+
+    n = 20
+    edge_index = torch.tensor(
+        [[0, 1, 2, 3], [1, 2, 3, 0]], dtype=torch.int64
+    )
+
+    class FakeData:
+        num_nodes = n
+        x = torch.randn(n, 5)
+        y = torch.arange(n) % 3
+        train_mask = torch.zeros(n, dtype=torch.bool)
+        test_mask = torch.ones(n, dtype=torch.bool)
+
+    FakeData.edge_index = edge_index
+
+    class FakePlanetoid:
+        def __init__(self, root, name):
+            assert name == "Pubmed"
+
+        def __getitem__(self, i):
+            return FakeData()
+
+    tg = types.ModuleType("torch_geometric")
+    tg_ds = types.ModuleType("torch_geometric.datasets")
+    tg_ds.Planetoid = FakePlanetoid
+    tg_ds.Reddit = None
+    tg.datasets = tg_ds
+    monkeypatch.setitem(sys.modules, "torch_geometric", tg)
+    monkeypatch.setitem(sys.modules, "torch_geometric.datasets", tg_ds)
+
+    from pygim_tpu.data.datasets import _try_real_dataset
+
+    ds = _try_real_dataset("pubmed", str(tmp_path))
+    assert ds is not None and not ds.synthetic
+    assert ds.graph.nrows == n and ds.graph.nnz == 4
+    # adj_t convention: row = destination ⇒ edge (0→1) lands at row 1
+    assert 1 in ds.graph.rows[ds.graph.cols == 0]
+    assert ds.num_classes == 3 and ds.test_mask.all()
+
+
+def test_inference_validate_flag(tmp_path):
+    """Experiment(validate=True) emits the per-layer check verdict into
+    the ledger (BASELINE validation clause)."""
+    from pygim_tpu.bench.experiment import Experiment
+
+    exp = Experiment(
+        dataset="tiny", kind="inference", hidden=16, repeat=1,
+        backend="ell", validate=True,
+    )
+    means = exp.run(tmp_path)
+    assert any(k.startswith("agg") for k in means)
+    out = (tmp_path / (exp.frozen_name() + ".out")).read_text()
+    assert "[DATA]validate: OK" in out
