@@ -72,6 +72,8 @@ class SpmmConfig:
     bcsr_tile: int = 32                    # tile rows Tr
     bcsr_min_edges: int = 0                # edges/tile cutoff (0 = auto
                                            # from the marginal model)
+    bcsr_order: str = "rank"               # tile ordering: "rank" (degree)
+                                           # or "rcm" (tail locality)
 
     def resolve_n_blocks(self, nnz: int) -> int:
         if self.n_blocks is not None:
@@ -351,7 +353,7 @@ class PreparedSpmm:
             f"{config.hybrid_dtype}-{config.ell_degree}-"
             f"{config.block_nnz_budget}-{config.bcsr_bytes}-"
             f"{config.bcsr_tile}-{config.bcsr_min_edges}-"
-            f"{config.hidden_hint}".encode()
+            f"{config.bcsr_order}-{config.hidden_hint}".encode()
         )
         cache_path = cache_dir / f"hybrid-{h.hexdigest()[:16]}.npz"
         host = None
@@ -464,9 +466,38 @@ class PreparedSpmm:
             from pygim_tpu.core.bcsr import build_bcsr_tiles
 
             t_idx = np.flatnonzero(tail_sel)
+            # tile ordering: degree rank by default; "rcm" re-orders the
+            # non-core band by reverse Cuthill-McKee of the tail
+            # subgraph — measured on products-sim this densifies tiles
+            # (13.1% vs 8.9% of edges captured at Tr=16, docs/PERF.md)
+            t_order, t_rank = order, rank
+            if config.bcsr_order == "rcm" and k < n:
+                import scipy.sparse as sp
+                from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+                tail_nodes = np.sort(order[k:])
+                pos = np.full(n, -1, dtype=np.int64)
+                pos[tail_nodes] = np.arange(n - k)
+                rr0, cc0 = coo.rows[t_idx], coo.cols[t_idx]
+                mm = (pos[rr0] >= 0) & (pos[cc0] >= 0)
+                sub = sp.csr_matrix(
+                    (
+                        np.ones(int(mm.sum()), np.int8),
+                        (pos[rr0[mm]], pos[cc0[mm]]),
+                    ),
+                    shape=(n - k, n - k),
+                )
+                perm = np.asarray(
+                    reverse_cuthill_mckee(sub, symmetric_mode=False)
+                )
+                t_order = np.concatenate(
+                    [order[:k], tail_nodes[perm]]
+                ).astype(order.dtype)
+                t_rank = np.empty(n, dtype=rank.dtype)
+                t_rank[t_order] = np.arange(n, dtype=rank.dtype)
             bc, in_tile = build_bcsr_tiles(
-                rank[coo.rows[t_idx]], rank[coo.cols[t_idx]],
-                coo.vals[t_idx], order, n=n,
+                t_rank[coo.rows[t_idx]], t_rank[coo.cols[t_idx]],
+                coo.vals[t_idx], t_order, n=n,
                 tile_rows=config.bcsr_tile,
                 budget_bytes=config.bcsr_bytes,
                 hidden=config.hidden_hint,

@@ -429,3 +429,31 @@ class TestFusedQuant:
         np.testing.assert_array_equal(
             np.asarray(out_fused), np.asarray(out_plain)
         )
+
+
+def test_bcsr_rcm_order_matches_dense(rng):
+    """bcsr_order='rcm' (tail locality ordering) — same numerics,
+    different tile layout."""
+    import jax.numpy as jnp
+
+    n = 512
+    rows = np.repeat(np.arange(n), 12)
+    cols = (rows + rng.integers(0, 40, rows.size)) % n
+    from pygim_tpu.core.graph import CooGraph
+
+    coo = CooGraph(
+        rows=rows.astype(np.int32), cols=cols.astype(np.int32),
+        vals=rng.standard_normal(rows.size).astype(np.float32),
+        nrows=n, ncols=n,
+    )
+    cfg = SpmmConfig(
+        backend="hybrid", hybrid_k=64, bcsr_bytes=32 << 20,
+        bcsr_tile=8, bcsr_min_edges=3, hidden_hint=16, bcsr_order="rcm",
+    )
+    prep = prepare_spmm(coo, cfg)
+    assert prep.has_bcsr
+    x = rng.standard_normal((n, 16)).astype(np.float32)
+    ref = coo.to_dense().astype(np.float64) @ x
+    np.testing.assert_allclose(
+        np.asarray(prep.mul(jnp.asarray(x))), ref, rtol=1e-4, atol=1e-4
+    )
