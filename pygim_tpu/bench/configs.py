@@ -33,7 +33,8 @@ BASELINE_EXPERIMENTS = [
     # middle tier covers the flat part of its degree distribution
     Experiment(dataset="ogbn-products", kind="inference", model="gcn",
                dtype="int8", backend="hybrid", hybrid_dtype="bfloat16",
-               bcsr_bytes=4 << 30, validate=True),
+               bcsr_bytes=4 << 30, bcsr_tile=16, bcsr_order="rcm",
+               validate=True),
     # (5) ogbn-papers100M GCN edge-partitioned multi-host with ICI halo
     # exchange — rehearsal scale: an R-MAT with papers100M's density
     # (~14.5 edges/node) sized so one shard fits the virtual-mesh hosts;

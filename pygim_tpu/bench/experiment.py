@@ -51,6 +51,8 @@ class Experiment:
     hybrid_core_bytes: int = 4 << 30   # hybrid backend core budget
     hybrid_dtype: str = ""             # "" = vals dtype; "bfloat16" option
     bcsr_bytes: int = 0                # hybrid BCSR middle-tier budget
+    bcsr_tile: int = 32                # BCSR tile rows
+    bcsr_order: str = "rank"           # BCSR ordering (rank | rcm)
     exchange: str = "all_to_all"       # scaling kind: halo exchange
     phases: bool = False               # spmm kind: per-phase [DATA] times
     validate: bool = False             # inference kind: per-layer check
@@ -80,7 +82,8 @@ class Experiment:
             balance=self.balance, block_nnz_budget=self.block_nnz_budget,
             hybrid_core_bytes=self.hybrid_core_bytes,
             hybrid_dtype=self.hybrid_dtype or None,
-            bcsr_bytes=self.bcsr_bytes, hidden_hint=self.hidden,
+            bcsr_bytes=self.bcsr_bytes, bcsr_tile=self.bcsr_tile,
+            bcsr_order=self.bcsr_order, hidden_hint=self.hidden,
         )
 
     def status_at(self, results_dir) -> str:
