@@ -19,15 +19,17 @@ def get_args(argv=None):
         choices=["spmm", "grande", "spmv", "cpu"],
     )
     p.add_argument("--sp_format", type=str, default="csr", choices=["csr", "coo"])
-    p.add_argument("--data_type", type=str, default="int32",
-                   choices=["int8", "int16", "int32", "int64", "float32",
-                            "float64", "bfloat16"])
+    from pygim_tpu.compat import normalize_data_type
+
+    # accepts the reference's tokens too: INT8/INT32/FLT32/DBL64
+    p.add_argument("--data_type", type=normalize_data_type, default="int32")
     p.add_argument("--sp_parts", type=int, default=2)
     p.add_argument("--ds_parts", type=int, default=16)
     p.add_argument("--hidden_size", type=int, default=256)
     p.add_argument("--repeat", type=int, default=1)
     p.add_argument("--tune", action="store_true")
-    p.add_argument("--data_root", type=str, default=None)
+    p.add_argument("--data_root", "--datadir", type=str, default=None)
+    p.add_argument("--lr", type=float, default=0.01)  # reference parity
     # compatibility no-ops
     p.add_argument("--lib_path", type=str, default=None)
     p.add_argument("--nr_dpus", type=int, default=None)

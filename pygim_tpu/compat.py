@@ -21,6 +21,24 @@ import jax
 from pygim_tpu.ops.spmm import SpmmConfig, prepare_spmm
 
 
+_DTYPE_ALIASES = {"flt32": "float32", "dbl64": "float64"}
+_KNOWN_DTYPES = (
+    "int8", "int16", "int32", "int64", "float32", "float64", "bfloat16"
+)
+
+
+def normalize_data_type(s: str) -> str:
+    """Accept the reference's uppercase dtype tokens (INT32 / FLT32 /
+    DBL64 — spmm_test.py:90) alongside the numpy-style names."""
+    t = _DTYPE_ALIASES.get(s.lower(), s.lower())
+    if t not in _KNOWN_DTYPES:
+        raise ValueError(
+            f"unknown data type {s!r}; accepted: {_KNOWN_DTYPES} "
+            "(case-insensitive; FLT32/DBL64 aliases supported)"
+        )
+    return t
+
+
 def _mesh_or_none(sp_parts: int, ds_parts: int):
     n = sp_parts * ds_parts
     if n <= 1 or n > len(jax.devices()):

@@ -195,6 +195,26 @@ def load_dataset(
         _, ns, es = name.split("-")
         spec = (int(ns), int(es), 64, 16)
         return _synthesize(name, spec, seed)
+    if name.endswith(".mtx"):
+        # SuiteSparse matrices as datasets (reference spmm_test.py:82
+        # '--dataset pkustk08.mtx'): graph from the file, synthetic
+        # features/labels sized to it
+        g = load_mtx(os.path.join(root, name))
+        if g.nrows != g.ncols:  # pad square for adjacency semantics
+            n = max(g.nrows, g.ncols)
+            g = CooGraph(
+                rows=g.rows, cols=g.cols, vals=g.vals, nrows=n, ncols=n
+            )
+        rng = np.random.default_rng(seed)
+        n = g.nrows
+        return GraphDataset(
+            name=name, graph=g,
+            x=rng.standard_normal((n, 64)).astype(np.float32),
+            y=rng.integers(0, 4, n).astype(np.int32),
+            train_mask=np.zeros(n, dtype=bool),
+            test_mask=np.ones(n, dtype=bool),
+            num_classes=4, synthetic=True,
+        )
     if name not in DATASET_SPECS:
         raise KeyError(
             f"unknown dataset {name!r}; known: {sorted(DATASET_SPECS)}"

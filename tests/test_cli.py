@@ -122,3 +122,33 @@ def test_grande_replicates_sparse_shards_features():
     from jax.sharding import PartitionSpec as P
 
     assert prep._x_sharding.spec == P("sp", "ds")
+
+
+def test_reference_flag_tokens(tmp_path, capsys):
+    """Reference-style invocations work verbatim: uppercase dtype tokens
+    (INT32/FLT32), --datadir, capitalized dataset names, --lr."""
+    spmm_test.main([
+        "--dataset", "Tiny", "--hidden_size", "16", "--repeat", "1",
+        "--data_type", "FLT32", "--datadir", str(tmp_path), "--lr", "0.01",
+    ])
+    out = capsys.readouterr().out
+    assert "[DATA]verify: OK" in out
+
+
+def test_mtx_dataset(tmp_path, capsys):
+    """--dataset <file>.mtx loads the SuiteSparse matrix from datadir
+    (reference spmm_test.py:82)."""
+    (tmp_path / "m.mtx").write_text(
+        "%%MatrixMarket matrix coordinate real general\n"
+        "50 50 100\n"
+        + "\n".join(
+            f"{(i * 7) % 50 + 1} {(i * 13) % 50 + 1} {1.0 + i % 3}"
+            for i in range(100)
+        )
+        + "\n"
+    )
+    spmm_test.main([
+        "--dataset", "m.mtx", "--hidden_size", "8", "--repeat", "1",
+        "--data_type", "float32", "--data_root", str(tmp_path),
+    ])
+    assert "[DATA]verify: OK" in capsys.readouterr().out
