@@ -152,3 +152,15 @@ def test_mtx_dataset(tmp_path, capsys):
         "--data_type", "float32", "--data_root", str(tmp_path),
     ])
     assert "[DATA]verify: OK" in capsys.readouterr().out
+
+
+def test_train_cli_mesh(tmp_path, capsys):
+    """Multi-chip training through the same one-jit threaded step (mesh
+    preps share the dev_arrays/raw_mul contract)."""
+    train.main([
+        "--dataset", "tiny", "--hidden_size", "16", "--epochs", "2",
+        "--sp_parts", "2", "--ds_parts", "2",
+        "--data_root", str(tmp_path),
+    ])
+    out = capsys.readouterr().out
+    assert "[DATA]train_loss" in out

@@ -38,7 +38,7 @@ def main(argv=None):
 
     from pygim_tpu.data import load_dataset
     from pygim_tpu.nn.models import make_gnn
-    from pygim_tpu.nn.train import make_train_step, make_train_step_threaded
+    from pygim_tpu.nn.train import make_train_step_threaded
     from pygim_tpu.ops.spmm import SpmmConfig, prepare_spmm
     from pygim_tpu.utils.metrics import data_print
 
@@ -62,17 +62,15 @@ def main(argv=None):
     )
     optimizer = optax.adam(args.lr)
     opt_state = optimizer.init(model.params)
-    if n_mesh > 1:
-        raw_step = make_train_step(model, prep.mul, optimizer)
-        step_fn = jax.jit(raw_step)
-    else:
-        # thread the sparse tables through the jit as arguments — safe
-        # for large graphs on remote-compile backends
-        threaded, dev = make_train_step_threaded(model, prep, optimizer)
-        jit_step = jax.jit(threaded)
-        step_fn = lambda p_, o_, x_, y_, m_, r_: jit_step(
-            p_, o_, x_, y_, m_, r_, dev
-        )
+    # thread the sparse tables through the jit as arguments — safe for
+    # large graphs on remote-compile backends; the mesh preps implement
+    # the same dev_arrays/raw_mul contract, so multi-chip training uses
+    # the identical one-jit step
+    threaded, dev = make_train_step_threaded(model, prep, optimizer)
+    jit_step = jax.jit(threaded)
+    step_fn = lambda p_, o_, x_, y_, m_, r_: jit_step(
+        p_, o_, x_, y_, m_, r_, dev
+    )
 
     x = jnp.asarray(ds.x, dtype=jnp.float32)
     labels = jnp.asarray(ds.y.astype(np.int32))
