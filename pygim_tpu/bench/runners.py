@@ -69,6 +69,11 @@ def run_spmm_benchmark(
         prep = prepare_spmm(graph, config or SpmmConfig())
     prep_s = time.perf_counter() - t0
     rep.report("prepare_pim_time(ms)", prep_s * 1e3)
+    for ph, sec in getattr(
+        getattr(prep, "prepare_timer", None), "acc", {}
+    ).items():
+        # host-side prepare sub-phases (timer.c slot analog)
+        rep.report(f"prepare_{ph}_time(ms)", sec * 1e3)
     from pygim_tpu.compat import describe_layout
 
     rep.report("layout", describe_layout(prep))

@@ -408,13 +408,18 @@ class PreparedSpmm:
 
     def _prepare_hybrid_build(self, coo, config: SpmmConfig):
         from pygim_tpu.core.partition import choose_ell_degree
+        from pygim_tpu.utils.timers import PhaseTimer
+
+        pt = self.prepare_timer = PhaseTimer()
 
         n = coo.nrows
+        pt.start("rank")
         deg = np.bincount(coo.rows, minlength=n).astype(np.int64)
         deg += np.bincount(coo.cols, minlength=n)
         order = np.argsort(-deg).astype(np.int32)
         rank = np.empty(n, dtype=np.int32)
         rank[order] = np.arange(n, dtype=np.int32)
+        pt.stop("rank")
 
         core_dtype = config.hybrid_dtype or str(coo.vals.dtype)
         itemsize = 2 if core_dtype == "bfloat16" else np.dtype(core_dtype).itemsize
@@ -431,6 +436,7 @@ class PreparedSpmm:
         from pygim_tpu.core import native
 
         dense = None
+        pt.start("core_fill")
         if k == 0:
             in_core = np.zeros(coo.nnz, dtype=bool)
         else:
@@ -451,6 +457,7 @@ class PreparedSpmm:
                 ).reshape(k, k).astype(np.float32)
             if core_dtype == "bfloat16":
                 dense = native.f32_to_bf16_bits(dense).reshape(k, k)
+        pt.stop("core_fill")
 
         host: dict = {"k": np.int64(k), "core_dtype": np.str_(core_dtype)}
         if k > 0:
@@ -462,6 +469,7 @@ class PreparedSpmm:
 
         # middle tier: dense (Tr, 128) tiles in rank space (core/bcsr.py)
         tail_sel = ~in_core
+        pt.start("bcsr")
         if config.bcsr_bytes > 0:
             from pygim_tpu.core.bcsr import build_bcsr_tiles
 
@@ -540,6 +548,8 @@ class PreparedSpmm:
                     bcsr_edges=np.int64(bc.n_edges),
                 )
 
+        pt.stop("bcsr")
+        pt.start("ell_tail")
         # tail stays in ORIGINAL node ids — no full-graph permutation at
         # run time; only the core/tile tiers touch the ranking (bounded
         # gathers of x rows and scatter-adds of their products).
@@ -562,6 +572,7 @@ class PreparedSpmm:
             vals2d=ell.vals,
             vrow_to_row=ell.vrow_to_row,
         )
+        pt.stop("ell_tail")
         return host
 
     def mul(self, x):
