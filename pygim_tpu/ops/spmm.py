@@ -187,10 +187,19 @@ def bcsr_scan_spmm(x, panel_nodes, tiles, panel_idx, vblock_to_rb,
     n_steps = n_vb // step
     tiles_s = tiles.reshape(n_steps, step, s, tr, tc)
     pidx_s = panel_idx.reshape(n_steps, step, s)
+    # per-step output ROW indices (row-block id expanded to its Tr rows);
+    # the scan accumulates into the final buffer via scatter-add instead
+    # of stacking per-step partials — stacking costs n_vb·Tr·H·4 bytes of
+    # HLO temp ON TOP of the result buffer (3+ GB each at products
+    # scale: the round-2 OOM)
+    rows_s = (
+        vblock_to_rb.astype(jnp.int32)[:, None] * tr
+        + jnp.arange(tr, dtype=jnp.int32)[None, :]
+    ).reshape(n_steps, step * tr)
     cdt = tiles.dtype
 
-    def body(_, blk):
-        t, pi = blk
+    def body(acc, blk):
+        t, pi, rows = blk
         # (step, s, tc, h) panel gather — 128-row blocks, bandwidth-bound
         p = jnp.take(x_panels, pi.reshape(-1), axis=0).reshape(
             step, s * tc, h
@@ -200,13 +209,17 @@ def bcsr_scan_spmm(x, panel_nodes, tiles, panel_idx, vblock_to_rb,
             "brk,bkh->brh", tt, p.astype(cdt),
             preferred_element_type=jnp.float32,
         )
-        return None, out
+        acc = acc.at[rows].add(
+            out.reshape(step * tr, h), indices_are_sorted=True,
+            unique_indices=False,
+        )
+        return acc, None
 
-    _, partial = jax.lax.scan(body, None, (tiles_s, pidx_s))
-    return jax.ops.segment_sum(
-        partial.reshape(n_vb, tr, h), vblock_to_rb,
-        num_segments=n_rb, indices_are_sorted=True,
+    acc, _ = jax.lax.scan(
+        body, jnp.zeros((n_rb * tr, h), jnp.float32),
+        (tiles_s, pidx_s, rows_s),
     )
+    return acc.reshape(n_rb, tr, h)
 
 
 class PreparedSpmm:
