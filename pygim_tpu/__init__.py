@@ -19,7 +19,7 @@ models     ``pygim_tpu.nn``               models/*.py
 quant      ``pygim_tpu.quant``            models/quantize.py
 adapters   ``pygim_tpu.ops``              backend_pim/{spmm,grande,spmv}.py
 runtime    ``pygim_tpu.parallel``         backend_pim/*/spmm_mul_*.c (host C)
-kernels    ``pygim_tpu.ops.pallas_*``     backend_pim/*/dpu_kernels/*.c
+kernels    ``pygim_tpu.ops`` scan/MXU formulations  backend_pim/*/dpu_kernels/*.c
 planner    ``pygim_tpu.core``             backend_pim/*/support/partition.c
 data       ``pygim_tpu.data``             inference.py:44-91 dataset loading
 =========  =============================  =====================================

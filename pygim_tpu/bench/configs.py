@@ -16,13 +16,16 @@ DATASETS = {
 # BASELINE.md §3 tracked configs
 BASELINE_EXPERIMENTS = [
     # (1) single SpMM Reddit CSR FLT32 h=256 (with the per-phase timer
-    # breakdown the reference emitted per multiply)
+    # breakdown the reference emitted per multiply); 12 GiB bf16 core =
+    # the measured-best hybrid point (docs/PERF.md)
     Experiment(dataset="reddit", kind="spmm", sp_format="csr",
-               dtype="float32", hidden=256, backend="hybrid", phases=True),
+               dtype="float32", hidden=256, backend="hybrid", phases=True,
+               hybrid_core_bytes=12 << 30, hybrid_dtype="bfloat16"),
     # (2) 2-layer GCN Reddit FLT32 (with the per-layer activation check
     # the BASELINE validation clause requires)
     Experiment(dataset="reddit", kind="inference", model="gcn",
                num_layers=2, dtype="float32", hidden=256, backend="hybrid",
+               hybrid_core_bytes=12 << 30, hybrid_dtype="bfloat16",
                validate=True),
     # (3) GIN + SAGE on ogbn-arxiv, COO vs CSR, autotuned
     Experiment(dataset="ogbn-arxiv", kind="inference", model="gin",

@@ -18,7 +18,16 @@ Backends
 ``coo``      exact-nnz chunks with mid-row cuts; chunk partials are summed
              into the full output (the segmented-reduction answer to the
              reference's four tasklet lock schemes, SURVEY.md §5.2).
-``pallas``   hand-written TPU kernel (see pallas_spmm.py).
+``hybrid``   dense hub-core (MXU) + BCSR tile tier + ELL tail — the
+             measured-best formulation for power-law graphs (docs/PERF.md).
+
+A hand-written Pallas backend existed through round 2 and was RETIRED:
+the round-1 kernel study (docs/PERF.md "The wall") measured the per-edge
+scalar loop in VMEM at the same ~7 ns/edge as XLA's gather engine, and
+Mosaic rejects every multi-row formulation (single-row DMA from tiled
+HBM, sublane-dim take, unaligned 1-D slices), so the kernel could never
+beat the XLA formulations it duplicated. See docs/PERF.md "Pallas
+retirement" for the full basis.
 """
 
 from __future__ import annotations
@@ -52,14 +61,13 @@ class SpmmConfig:
     """
 
     format: str = "csr"              # csr | coo
-    backend: str = "blocked"         # oracle | blocked | ell | coo | pallas
+    backend: str = "blocked"         # oracle | blocked | ell | coo | hybrid
     balance: str = "nnz"             # nnz | row   (partition.c analogs)
     n_blocks: Optional[int] = None   # explicit override
     block_nnz_budget: int = 1 << 17  # ~128k nnz/block
     ell_degree: Optional[int] = None # ell backend: fixed degree (auto=None)
     hidden_hint: int = 256           # expected dense width (memory guard
                                      # for the auto degree chooser)
-    interpret: bool = False          # pallas interpreter mode (tests)
     # hybrid backend: dense hub-core on the MXU + ELL tail via gather.
     hybrid_k: Optional[int] = None         # core size (auto from budget;
                                            # 0 disables the dense core)
@@ -209,10 +217,9 @@ def bcsr_scan_spmm(x, panel_nodes, tiles, panel_idx, vblock_to_rb,
             "brk,bkh->brh", tt, p.astype(cdt),
             preferred_element_type=jnp.float32,
         )
-        acc = acc.at[rows].add(
-            out.reshape(step * tr, h), indices_are_sorted=True,
-            unique_indices=False,
-        )
+        # NOT sorted: a row block split into multiple virtual blocks
+        # repeats its row range within a step (descending jump)
+        acc = acc.at[rows].add(out.reshape(step * tr, h))
         return acc, None
 
     acc, _ = jax.lax.scan(
@@ -255,16 +262,12 @@ class PreparedSpmm:
                 "cols": jnp.asarray(s.cols),
                 "vals": jnp.asarray(s.vals),
             }
-        elif backend in ("blocked", "pallas"):
+        elif backend == "blocked":
             csr = csr if csr is not None else coo.to_csr()
             nb = config.resolve_n_blocks(csr.nnz)
-            row_align = 8
-            if backend == "pallas":
-                # pallas kernel wants lane-aligned row tiles
-                row_align = 128
             plan = make_row_block_plan(
                 csr, nb, balance=config.balance,
-                row_align=row_align, nnz_align=128 if backend == "pallas" else 8,
+                row_align=8, nnz_align=8,
             )
             ell = build_ell_blocks(csr, plan)
             row_slot = row_slot_table(plan)
@@ -615,9 +618,12 @@ class PreparedSpmm:
         return self.config.backend in ("ell", "hybrid")
 
     def raw_mul_quantized(self, x, dev: dict, agg_dtype: str):
-        """Fused quantize → A·x → dequantize, bit-identical to
+        """Fused quantize → A·x → dequantize: the integer quantization
+        is bit-exact vs
         ``symmetric_dequantize(raw_mul(symmetric_quantize(x)[1]), 1, s)``
-        but without materializing the (N, H) quantized copy of x or a
+        (identical round(x/scale) and integer accumulation; the float
+        output matches to f32 summation-order ulp across the two XLA
+        programs) — without materializing the (N, H) quantized copy of x or a
         separate dequantize pass: the rounding runs on each gathered
         block in registers (VPU work fused into the gather stream; the
         gather itself is issue-bound, so reading f32 rows instead of
@@ -852,9 +858,6 @@ def _make_run(backend: str, prep: PreparedSpmm):
             return out
         return run
 
-    if backend == "pallas":
-        from pygim_tpu.ops.pallas_spmm import make_pallas_spmm_run
-        return make_pallas_spmm_run(prep)
 
     raise ValueError(backend)
 
