@@ -44,6 +44,8 @@ BASELINE_EXPERIMENTS = [
     # the real dataset needs the multi-host fleet this environment lacks
     Experiment(dataset="rmat-1048576-15728640", kind="scaling",
                backend="ell", hidden=128, exchange="all_to_all", repeat=2),
+    Experiment(dataset="rmat-1048576-15728640", kind="scaling",
+               backend="ell", hidden=128, exchange="ring", repeat=2),
 ]
 
 

@@ -10,5 +10,10 @@ from pygim_tpu.tune.autotuner import (  # noqa: F401
     plan_statistics,
     prepare_tuned,
 )
-from pygim_tpu.tune.cost_model import TpuCostModel, predict_spmm_time  # noqa: F401
+from pygim_tpu.tune.cost_model import (  # noqa: F401
+    TpuCostModel,
+    calibrate_from_phases,
+    measure_constants,
+    predict_spmm_time,
+)
 from pygim_tpu.tune.dist import DistPlan, enumerate_dist, halo_statistics  # noqa: F401
