@@ -130,3 +130,48 @@ def test_halo_ring_buffer_smaller_on_clustered(rng):
         np.asarray(ring.mul(jnp.asarray(x))), _dense_ref(coo, x),
         rtol=1e-4, atol=1e-4,
     )
+
+
+def test_halo_ring_raw_mul_with_order(rng):
+    """ring exchange + RCM order + raw_mul threading compose: a 2-layer
+    forward in ONE jit returns original-order results."""
+    import jax
+
+    coo = random_coo(rng, nrows=128, ncols=128, nnz=900)
+    prep = prepare_spmm_halo(
+        coo, make_node_mesh(4), SpmmConfig(n_blocks=1),
+        exchange="ring", order="rcm",
+    )
+    dev = prep.dev_arrays
+    assert "order" in dev and "inv_order" in dev
+
+    @jax.jit
+    def fwd(x, dev):
+        return prep.raw_mul(jax.nn.relu(prep.raw_mul(x, dev)), dev)
+
+    x = rng.standard_normal((128, 8)).astype(np.float32)
+    ref = coo.to_dense().astype(np.float64)
+    np.testing.assert_allclose(
+        np.asarray(fwd(jnp.asarray(x), dev)),
+        ref @ np.maximum(ref @ x, 0), rtol=1e-3, atol=1e-3,
+    )
+
+
+def test_scaling_benchmark_ring(rng):
+    """run_scaling_benchmark accepts the ring exchange (config-5 ring
+    rehearsal path)."""
+    from pygim_tpu.bench.scaling import run_scaling_benchmark
+    from pygim_tpu.data.datasets import GraphDataset
+    from pygim_tpu.utils.metrics import DataReporter
+
+    coo = random_coo(rng, nrows=64, ncols=64, nnz=400)
+    ds = GraphDataset(
+        name="t", graph=coo, x=np.zeros((64, 4), np.float32),
+        y=np.zeros(64, np.int64), train_mask=np.zeros(64, bool),
+        test_mask=np.zeros(64, bool), num_classes=2, synthetic=True,
+    )
+    means = run_scaling_benchmark(
+        ds, device_counts=[1, 4], hidden=8, exchange="ring", repeat=1,
+        reporter=DataReporter(echo=False),
+    )
+    assert "edges_per_s_n4" in means

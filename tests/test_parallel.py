@@ -200,3 +200,27 @@ def test_halo_raw_mul_one_program(rng):
         np.asarray(fwd(jnp.asarray(x), dev)),
         ref @ np.maximum(ref @ x, 0), rtol=1e-3, atol=1e-3,
     )
+
+
+def test_2d_hybrid_scatter_phase_times(rng):
+    """phase_times on the 2d mesh with hybrid core + reduce-scatter
+    output (all options composed)."""
+    from pygim_tpu.parallel.mesh import make_mesh
+    from pygim_tpu.parallel.spmm_2d import prepare_spmm_2d
+
+    coo = random_coo(rng, nrows=96, ncols=96, nnz=700)
+    prep = prepare_spmm_2d(
+        coo, make_mesh(4, 2),
+        SpmmConfig(backend="hybrid", hybrid_k=16),
+        scatter_output=True,
+    )
+    x = jnp.asarray(
+        rng.standard_normal((96, 8)), dtype=jnp.float32
+    )
+    ph = prep.phase_times(x, iters=1)
+    assert ph["psum_time(ms)"] >= 0
+    np.testing.assert_allclose(
+        np.asarray(prep.mul(x)),
+        coo.to_dense().astype(np.float64) @ np.asarray(x, np.float64),
+        rtol=1e-3, atol=1e-3,
+    )
