@@ -204,3 +204,192 @@ def build_bcsr_tiles(
         ),
         in_tile,
     )
+
+
+def panel_tile_cutoffs(
+    tile_rows: int, hidden: int, itemsize: int = 2,
+    edge_cost_bytes: int = EDGE_COST_BYTES,
+) -> tuple[int, int]:
+    """Marginal cutoffs for PANEL-MAJOR scheduling, where the (128, H)
+    panel read is amortized over every tile of the column block:
+
+    * per-tile cost   = tile read + partial write & merge-read
+    * per-panel cost  = one (128, H) panel gather
+
+    Returns ``(min_edges_per_tile, min_edges_per_panel)`` — a tile pays
+    its own bytes; a panel qualifies when its QUALIFIED tiles' edges
+    cover the panel gather. Much lower tile bar than the row-major
+    scheme (no per-tile panel charge)."""
+    tile_bytes = (
+        tile_rows * TILE_COLS * itemsize     # tile read
+        + 2 * tile_rows * hidden * 4         # partial write + merge read
+    )
+    panel_bytes = TILE_COLS * hidden * 4
+    return (
+        max(2, -(-tile_bytes // edge_cost_bytes)),
+        max(2, -(-panel_bytes // edge_cost_bytes)),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class BcsrPanels:
+    """Panel-major device tables.
+
+    ``tiles``       (n_vp, T, Tr, TILE_COLS) tile values (padding 0).
+    ``panel_idx``   (n_vp,) int32 — panel table index per virtual panel.
+    ``tile_rb``     (n_vp, T) int32 — compact row-block id per tile slot
+                    (padding slots target block 0 with zero tiles).
+    ``panel_nodes`` (n_panels · TILE_COLS,) original node ids.
+    ``row_nodes``   (n_rb · Tr,) original node ids receiving rows.
+    """
+
+    tiles: np.ndarray
+    panel_idx: np.ndarray
+    tile_rb: np.ndarray
+    panel_nodes: np.ndarray
+    row_nodes: np.ndarray
+    tile_rows: int
+    tiles_per_vp: int
+    n_rb: int
+    n_edges: int
+
+
+def build_bcsr_panels(
+    rr: np.ndarray,
+    cc: np.ndarray,
+    vals: np.ndarray,
+    order: np.ndarray,
+    *,
+    n: int,
+    tile_rows: int,
+    budget_bytes: int,
+    hidden: int,
+    dtype: str = "bfloat16",
+    min_edges: int = 0,
+) -> tuple["BcsrPanels | None", np.ndarray]:
+    """Panel-major tile selection + materialization (rank coordinates,
+    as :func:`build_bcsr_tiles`). Two-level qualification: tiles pass the
+    per-tile cutoff, then column blocks (panels) pass when their
+    qualified tiles jointly cover the panel-gather cost; densest panels
+    first under the byte budget."""
+    import ml_dtypes
+
+    itemsize = 2 if dtype == "bfloat16" else 4
+    if budget_bytes <= 0 or rr.size == 0:
+        return None, np.zeros(rr.shape[0], dtype=bool)
+    tr, tc = tile_rows, TILE_COLS
+    t_min, p_min = panel_tile_cutoffs(tr, hidden, itemsize)
+    if min_edges > 0:
+        t_min = min_edges
+
+    ncb = -(-n // tc)
+    tid = (rr.astype(np.int64) // tr) * ncb + cc.astype(np.int64) // tc
+    utid, inv, counts = np.unique(tid, return_inverse=True, return_counts=True)
+    qual_t = counts >= t_min
+    if not qual_t.any():
+        return None, np.zeros(rr.shape[0], dtype=bool)
+
+    # panel qualification over qualified tiles
+    cb_of_utid = (utid % ncb).astype(np.int64)
+    panel_edges = np.bincount(
+        cb_of_utid[qual_t], weights=counts[qual_t], minlength=ncb
+    )
+    qual_p = panel_edges >= p_min
+    sel = qual_t & qual_p[cb_of_utid]
+    if not sel.any():
+        return None, np.zeros(rr.shape[0], dtype=bool)
+
+    # budget: keep densest PANELS first (edges per tile byte)
+    tile_bytes = tr * tc * itemsize
+    sel_idx = np.flatnonzero(sel)
+    tiles_per_panel = np.bincount(cb_of_utid[sel_idx], minlength=ncb)
+    max_tiles = max(0, budget_bytes // tile_bytes)
+    if sel_idx.size > max_tiles:
+        density = np.zeros(ncb)
+        np.divide(
+            panel_edges, tiles_per_panel, out=density,
+            where=tiles_per_panel > 0,
+        )
+        order_p = np.argsort(-density, kind="stable")
+        keep_p = np.zeros(ncb, dtype=bool)
+        acc = 0
+        for p in order_p:
+            tpp = int(tiles_per_panel[p])
+            if tpp == 0 or acc + tpp > max_tiles:
+                continue
+            keep_p[p] = True
+            acc += tpp
+        sel = sel & keep_p[cb_of_utid]
+        sel_idx = np.flatnonzero(sel)
+        if sel_idx.size == 0:
+            return None, np.zeros(rr.shape[0], dtype=bool)
+    in_tile = sel[inv]
+
+    # ---- group selected tiles by panel (cb-major) ----
+    sel_tids = utid[sel_idx]
+    ord_cb = np.argsort(sel_tids % ncb, kind="stable")
+    sel_tids = sel_tids[ord_cb]
+    cb_all = sel_tids % ncb
+    rb_all = sel_tids // ncb
+    ucb, tiles_per_cb = np.unique(cb_all, return_counts=True)
+
+    # fixed tiles-per-virtual-panel T minimizing padded slots
+    t_fixed = _choose_tiles_per_vblock(tiles_per_cb)
+    vp_per_cb = -(-tiles_per_cb // t_fixed)
+    n_vp = int(vp_per_cb.sum())
+    vp_off = np.zeros(ucb.shape[0] + 1, dtype=np.int64)
+    np.cumsum(vp_per_cb, out=vp_off[1:])
+    cb_pos = np.searchsorted(ucb, cb_all)
+    j_in_cb = np.arange(sel_tids.shape[0]) - np.repeat(
+        np.concatenate(([0], np.cumsum(tiles_per_cb)[:-1])), tiles_per_cb
+    )
+    tile_vp = vp_off[cb_pos] + j_in_cb // t_fixed
+    tile_slot = j_in_cb % t_fixed
+
+    # compact row blocks
+    urb = np.unique(rb_all)
+    rb_compact = np.searchsorted(urb, rb_all)
+
+    panel_ranks = (
+        ucb[:, None] * tc + np.arange(tc, dtype=np.int64)[None, :]
+    ).reshape(-1)
+    panel_nodes = order[np.minimum(panel_ranks, n - 1)].astype(INDEX_DTYPE)
+    row_ranks = (
+        urb[:, None] * tr + np.arange(tr, dtype=np.int64)[None, :]
+    ).reshape(-1)
+    row_nodes = order[np.minimum(row_ranks, n - 1)].astype(INDEX_DTYPE)
+
+    # ---- materialize (duplicates accumulated) ----
+    e_tid = tid[in_tile]
+    # position of each edge's tile in the cb-sorted selected list:
+    # search the tid-sorted view, then map back through the sort perm
+    srt = np.argsort(sel_tids, kind="stable")
+    e_pos = srt[np.searchsorted(sel_tids[srt], e_tid)]
+    e_flat = (
+        (tile_vp[e_pos] * t_fixed + tile_slot[e_pos]) * (tr * tc)
+        + (rr[in_tile].astype(np.int64) % tr) * tc
+        + cc[in_tile].astype(np.int64) % tc
+    )
+    uflat, uinv = np.unique(e_flat, return_inverse=True)
+    sums = np.bincount(
+        uinv, weights=vals[in_tile].astype(np.float64),
+        minlength=uflat.shape[0],
+    ).astype(np.float32)
+    np_dtype = ml_dtypes.bfloat16 if dtype == "bfloat16" else np.float32
+    tiles = np.zeros(n_vp * t_fixed * tr * tc, dtype=np_dtype)
+    tiles[uflat] = sums.astype(np_dtype)
+    tiles = tiles.reshape(n_vp, t_fixed, tr, tc)
+
+    panel_idx = np.zeros(n_vp, dtype=INDEX_DTYPE)
+    panel_idx[tile_vp] = np.searchsorted(ucb, cb_all)
+    tile_rb = np.zeros((n_vp, t_fixed), dtype=INDEX_DTYPE)
+    tile_rb[tile_vp, tile_slot] = rb_compact
+    return (
+        BcsrPanels(
+            tiles=tiles, panel_idx=panel_idx, tile_rb=tile_rb,
+            panel_nodes=panel_nodes, row_nodes=row_nodes,
+            tile_rows=tr, tiles_per_vp=t_fixed, n_rb=int(urb.shape[0]),
+            n_edges=int(in_tile.sum()),
+        ),
+        in_tile,
+    )

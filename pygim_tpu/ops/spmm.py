@@ -82,6 +82,10 @@ class SpmmConfig:
                                            # from the marginal model)
     bcsr_order: str = "rank"               # tile ordering: "rank" (degree)
                                            # or "rcm" (tail locality)
+    bcsr_layout: str = "row"               # scheduling: "row" (row-block
+                                           # major) or "panel" (column-
+                                           # block major, amortized panel
+                                           # reads — lower edge cutoff)
 
     def resolve_n_blocks(self, nnz: int) -> int:
         if self.n_blocks is not None:
@@ -175,6 +179,48 @@ def ell_scan_spmm(x, cols2d, vals2d, vrow_to_row, chunk, degree, nrows):
         partial.reshape(-1, h), vrow_to_row,
         num_segments=nrows, indices_are_sorted=True,
     )
+
+
+def bcsr_panel_scan_spmm(x, panel_nodes, tiles, panel_idx, tile_rb,
+                         n_rb: int, step: int, q_scale=None):
+    """PANEL-MAJOR BCSR compute body (core/bcsr.py:build_bcsr_panels).
+
+    Iterates column blocks: each step gathers ``step`` (128, H) panels
+    ONCE and multiplies every tile of those panels against them — the
+    panel read is amortized over all its tiles, so the per-tile
+    qualification bar drops to tile-read + partial-merge cost
+    (panel_tile_cutoffs). Partials scatter-add into the (n_rb·Tr, H)
+    carry (unsorted rows — tiles of one step span row blocks)."""
+    h = x.shape[1]
+    n_vp, t_fix, tr, tc = tiles.shape
+    x_panels = jnp.take(x, panel_nodes, axis=0)
+    if q_scale is not None:  # fused symmetric quantization (exact /)
+        x_panels = jnp.round(x_panels / q_scale)
+    x_panels = x_panels.reshape(-1, tc, h)
+    n_steps = n_vp // step
+    tiles_s = tiles.reshape(n_steps, step, t_fix, tr, tc)
+    pidx_s = panel_idx.reshape(n_steps, step)
+    rows_s = (
+        tile_rb.astype(jnp.int32)[:, :, None] * tr
+        + jnp.arange(tr, dtype=jnp.int32)[None, None, :]
+    ).reshape(n_steps, step * t_fix * tr)
+    cdt = tiles.dtype
+
+    def body(acc, blk):
+        t, pi, rows = blk
+        p = jnp.take(x_panels, pi, axis=0)  # (step, tc, h) — one read
+        out = jnp.einsum(
+            "ptrk,pkh->ptrh", t, p.astype(cdt),
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc.at[rows].add(out.reshape(step * t_fix * tr, h))
+        return acc, None
+
+    acc, _ = jax.lax.scan(
+        body, jnp.zeros((n_rb * tr, h), jnp.float32),
+        (tiles_s, pidx_s, rows_s),
+    )
+    return acc.reshape(n_rb, tr, h)
 
 
 def bcsr_scan_spmm(x, panel_nodes, tiles, panel_idx, vblock_to_rb,
@@ -369,7 +415,8 @@ class PreparedSpmm:
             f"{config.hybrid_dtype}-{config.ell_degree}-"
             f"{config.block_nnz_budget}-{config.bcsr_bytes}-"
             f"{config.bcsr_tile}-{config.bcsr_min_edges}-"
-            f"{config.bcsr_order}-{config.hidden_hint}".encode()
+            f"{config.bcsr_order}-{config.bcsr_layout}-"
+            f"{config.hidden_hint}".encode()
         )
         cache_path = cache_dir / f"hybrid-{h.hexdigest()[:16]}.npz"
         host = None
@@ -411,16 +458,22 @@ class PreparedSpmm:
                 import ml_dtypes
 
                 tiles = tiles.view(ml_dtypes.bfloat16)
+            self.bcsr_kind = str(host.get("bcsr_kind", "row"))
             self.bcsr_step = int(host["bcsr_step"])
             self.bcsr_n_rb = int(host["bcsr_n_rb"])
             self.bcsr_edges = int(host["bcsr_edges"])
             self._dev.update(
                 tiles=jnp.asarray(tiles),
                 panel_idx=jnp.asarray(host["bcsr_panel_idx"]),
-                vblock_to_rb=jnp.asarray(host["bcsr_vblock_to_rb"]),
                 panel_nodes=jnp.asarray(host["bcsr_panel_nodes"]),
                 row_nodes=jnp.asarray(host["bcsr_row_nodes"]),
             )
+            if self.bcsr_kind == "panel":
+                self._dev["tile_rb"] = jnp.asarray(host["bcsr_tile_rb"])
+            else:
+                self._dev["vblock_to_rb"] = jnp.asarray(
+                    host["bcsr_vblock_to_rb"]
+                )
 
     def _prepare_hybrid_build(self, coo, config: SpmmConfig):
         from pygim_tpu.core.partition import choose_ell_degree
@@ -519,16 +572,59 @@ class PreparedSpmm:
                 ).astype(order.dtype)
                 t_rank = np.empty(n, dtype=rank.dtype)
                 t_rank[t_order] = np.arange(n, dtype=rank.dtype)
-            bc, in_tile = build_bcsr_tiles(
-                t_rank[coo.rows[t_idx]], t_rank[coo.cols[t_idx]],
-                coo.vals[t_idx], t_order, n=n,
-                tile_rows=config.bcsr_tile,
+            bkw = dict(
+                n=n, tile_rows=config.bcsr_tile,
                 budget_bytes=config.bcsr_bytes,
                 hidden=config.hidden_hint,
                 dtype="bfloat16" if core_dtype == "bfloat16" else "float32",
                 min_edges=config.bcsr_min_edges,
             )
-            if bc is not None:
+            brr = t_rank[coo.rows[t_idx]]
+            bcc = t_rank[coo.cols[t_idx]]
+            if config.bcsr_layout == "panel":
+                from pygim_tpu.core.bcsr import build_bcsr_panels
+
+                bc, in_tile = build_bcsr_panels(
+                    brr, bcc, coo.vals[t_idx], t_order, **bkw
+                )
+            else:
+                bc, in_tile = build_bcsr_tiles(
+                    brr, bcc, coo.vals[t_idx], t_order, **bkw
+                )
+            if bc is not None and config.bcsr_layout == "panel":
+                tail_sel = tail_sel.copy()
+                tail_sel[t_idx[in_tile]] = False
+                t_fix, tr = bc.tiles_per_vp, bc.tile_rows
+                # step: ~8 MB of panel gather per scan step
+                step = max(1, (8 << 20) // max(
+                    1, 128 * config.hidden_hint * 4
+                ))
+                n_vp = bc.tiles.shape[0]
+                step = min(step, max(1, n_vp))
+                n_vp_pad = round_up(n_vp, step)
+                tiles = np.zeros(
+                    (n_vp_pad,) + bc.tiles.shape[1:], dtype=bc.tiles.dtype
+                )
+                tiles[:n_vp] = bc.tiles
+                panel_idx = np.zeros(n_vp_pad, dtype=np.int32)
+                panel_idx[:n_vp] = bc.panel_idx
+                tile_rb = np.zeros((n_vp_pad, t_fix), dtype=np.int32)
+                tile_rb[:n_vp] = bc.tile_rb
+                bdt = str(bc.tiles.dtype)
+                host.update(
+                    bcsr_kind=np.str_("panel"),
+                    bcsr_tiles=tiles.view(np.uint16)
+                    if bdt == "bfloat16" else tiles,
+                    bcsr_dtype=np.str_(bdt),
+                    bcsr_panel_idx=panel_idx,
+                    bcsr_tile_rb=tile_rb,
+                    bcsr_panel_nodes=bc.panel_nodes,
+                    bcsr_row_nodes=bc.row_nodes,
+                    bcsr_step=np.int64(step),
+                    bcsr_n_rb=np.int64(bc.n_rb),
+                    bcsr_edges=np.int64(bc.n_edges),
+                )
+            elif bc is not None:
                 tail_sel = tail_sel.copy()
                 tail_sel[t_idx[in_tile]] = False
                 s, tr = bc.tiles_per_vblock, bc.tile_rows
@@ -552,6 +648,7 @@ class PreparedSpmm:
                 vb_to_rb[:n_vb] = bc.vblock_to_rb
                 bdt = str(bc.tiles.dtype)
                 host.update(
+                    bcsr_kind=np.str_("row"),
                     bcsr_tiles=tiles.view(np.uint16)
                     if bdt == "bfloat16" else tiles,
                     bcsr_dtype=np.str_(bdt),
@@ -658,11 +755,18 @@ class PreparedSpmm:
                 core_out = jnp.dot(core, xc, preferred_element_type=acc)
                 out = out.at[core_nodes].add(core_out.astype(out.dtype))
             if getattr(self, "has_bcsr", False):
-                b = bcsr_scan_spmm(
-                    x, dev["panel_nodes"], dev["tiles"], dev["panel_idx"],
-                    dev["vblock_to_rb"], self.bcsr_n_rb, self.bcsr_step,
-                    q_scale=safe,
-                )
+                if self.bcsr_kind == "panel":
+                    b = bcsr_panel_scan_spmm(
+                        x, dev["panel_nodes"], dev["tiles"],
+                        dev["panel_idx"], dev["tile_rb"],
+                        self.bcsr_n_rb, self.bcsr_step, q_scale=safe,
+                    )
+                else:
+                    b = bcsr_scan_spmm(
+                        x, dev["panel_nodes"], dev["tiles"],
+                        dev["panel_idx"], dev["vblock_to_rb"],
+                        self.bcsr_n_rb, self.bcsr_step, q_scale=safe,
+                    )
                 out = out.at[dev["row_nodes"]].add(
                     b.reshape(-1, x.shape[1]).astype(out.dtype)
                 )
@@ -746,14 +850,20 @@ class PreparedSpmm:
                 core, x, d["core"], d["core_nodes"], iters=iters
             ) * 1e3
         if b == "hybrid" and getattr(self, "has_bcsr", False):
+            fn = (
+                bcsr_panel_scan_spmm
+                if self.bcsr_kind == "panel"
+                else bcsr_scan_spmm
+            )
+            key = "tile_rb" if self.bcsr_kind == "panel" else "vblock_to_rb"
             bc = jax.jit(
-                lambda x, pn, t, pi, vb: bcsr_scan_spmm(
+                lambda x, pn, t, pi, vb: fn(
                     x, pn, t, pi, vb, self.bcsr_n_rb, self.bcsr_step
                 )
             )
             out["bcsr_time(ms)"] = device_time(
                 bc, x, d["panel_nodes"], d["tiles"], d["panel_idx"],
-                d["vblock_to_rb"], iters=iters,
+                d[key], iters=iters,
             ) * 1e3
         if b == "blocked":
             g = gather_only(d["colind"], 1)  # one step per nnz block
@@ -817,9 +927,10 @@ def _make_run(backend: str, prep: PreparedSpmm):
         has_bcsr = getattr(prep, "has_bcsr", False)
         if has_bcsr:
             b_step, b_n_rb = prep.bcsr_step, prep.bcsr_n_rb
+            b_panel = prep.bcsr_kind == "panel"
 
         def run(x, cols2d, vals2d, vrow_to_row, core=None, core_nodes=None,
-                tiles=None, panel_idx=None, vblock_to_rb=None,
+                tiles=None, panel_idx=None, vblock_to_rb=None, tile_rb=None,
                 panel_nodes=None, row_nodes=None):
             acc = accum_dtype(jnp.result_type(jnp.float32, x.dtype))
             out = ell_scan_spmm(
@@ -832,10 +943,16 @@ def _make_run(backend: str, prep: PreparedSpmm):
                 )
                 out = out.at[core_nodes].add(core_out.astype(out.dtype))
             if has_bcsr:
-                b = bcsr_scan_spmm(
-                    x, panel_nodes, tiles, panel_idx, vblock_to_rb,
-                    b_n_rb, b_step,
-                )
+                if b_panel:
+                    b = bcsr_panel_scan_spmm(
+                        x, panel_nodes, tiles, panel_idx, tile_rb,
+                        b_n_rb, b_step,
+                    )
+                else:
+                    b = bcsr_scan_spmm(
+                        x, panel_nodes, tiles, panel_idx, vblock_to_rb,
+                        b_n_rb, b_step,
+                    )
                 out = out.at[row_nodes].add(
                     b.reshape(-1, x.shape[1]).astype(out.dtype)
                 )

@@ -8,6 +8,13 @@ not enough — we must override through ``jax.config`` before the first op.
 """
 
 import os
+import tempfile
+
+# fresh prepare/dataset cache per test session: the hybrid prepare's disk
+# cache is keyed by (graph, config) fingerprints that deliberately do NOT
+# include code versions — a stale cache from an older builder would mask
+# builder changes (and tests must not pollute the user's real cache)
+os.environ["PYGIM_TPU_DATA"] = tempfile.mkdtemp(prefix="pygim_test_cache_")
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
