@@ -34,9 +34,13 @@ BASELINE_EXPERIMENTS = [
                sp_format="csr", tune=True),
     # (4) INT8-quantized GCN on ogbn-products — hybrid core + BCSR
     # middle tier covers the flat part of its degree distribution
+    # panel-major tiles: measured-best coverage on the flat products
+    # degree distribution (docs/PERF.md round-2 tables); core shrinks to
+    # fit next to the tile store + panel cache in 16 GiB HBM
     Experiment(dataset="ogbn-products", kind="inference", model="gcn",
                dtype="int8", backend="hybrid", hybrid_dtype="bfloat16",
-               bcsr_bytes=4 << 30, bcsr_tile=16, bcsr_order="rcm",
+               hybrid_core_bytes=2 << 30, bcsr_bytes=2560 << 20,
+               bcsr_tile=8, bcsr_order="rcm", bcsr_layout="panel",
                validate=True),
     # (5) ogbn-papers100M GCN edge-partitioned multi-host with ICI halo
     # exchange — rehearsal scale: an R-MAT with papers100M's density

@@ -53,6 +53,7 @@ class Experiment:
     bcsr_bytes: int = 0                # hybrid BCSR middle-tier budget
     bcsr_tile: int = 32                # BCSR tile rows
     bcsr_order: str = "rank"           # BCSR ordering (rank | rcm)
+    bcsr_layout: str = "row"           # BCSR scheduling (row | panel)
     exchange: str = "all_to_all"       # scaling kind: halo exchange
     phases: bool = False               # spmm kind: per-phase [DATA] times
     validate: bool = False             # inference kind: per-layer check
@@ -83,7 +84,8 @@ class Experiment:
             hybrid_core_bytes=self.hybrid_core_bytes,
             hybrid_dtype=self.hybrid_dtype or None,
             bcsr_bytes=self.bcsr_bytes, bcsr_tile=self.bcsr_tile,
-            bcsr_order=self.bcsr_order, hidden_hint=self.hidden,
+            bcsr_order=self.bcsr_order, bcsr_layout=self.bcsr_layout,
+            hidden_hint=self.hidden,
         )
 
     def status_at(self, results_dir) -> str:

@@ -182,15 +182,17 @@ def ell_scan_spmm(x, cols2d, vals2d, vrow_to_row, chunk, degree, nrows):
 
 
 def bcsr_panel_scan_spmm(x, panel_nodes, tiles, panel_idx, tile_rb,
-                         n_rb: int, step: int, q_scale=None):
+                         row_nodes, out, step: int, q_scale=None):
     """PANEL-MAJOR BCSR compute body (core/bcsr.py:build_bcsr_panels).
 
     Iterates column blocks: each step gathers ``step`` (128, H) panels
     ONCE and multiplies every tile of those panels against them — the
     panel read is amortized over all its tiles, so the per-tile
     qualification bar drops to tile-read + partial-merge cost
-    (panel_tile_cutoffs). Partials scatter-add into the (n_rb·Tr, H)
-    carry (unsorted rows — tiles of one step span row blocks)."""
+    (panel_tile_cutoffs). Partials scatter-add DIRECTLY into the caller's
+    (nrows, H) output carry via ``row_nodes`` (rank row → original node):
+    no intermediate (n_rb·Tr, H) buffer exists — at products scale that
+    buffer plus its copy into out cost ~5 GB of HBM."""
     h = x.shape[1]
     n_vp, t_fix, tr, tc = tiles.shape
     x_panels = jnp.take(x, panel_nodes, axis=0)
@@ -200,38 +202,39 @@ def bcsr_panel_scan_spmm(x, panel_nodes, tiles, panel_idx, tile_rb,
     n_steps = n_vp // step
     tiles_s = tiles.reshape(n_steps, step, t_fix, tr, tc)
     pidx_s = panel_idx.reshape(n_steps, step)
-    rows_s = (
+    rank_rows = (
         tile_rb.astype(jnp.int32)[:, :, None] * tr
         + jnp.arange(tr, dtype=jnp.int32)[None, None, :]
     ).reshape(n_steps, step * t_fix * tr)
+    rows_s = jnp.take(row_nodes.astype(jnp.int32), rank_rows)
     cdt = tiles.dtype
 
     def body(acc, blk):
         t, pi, rows = blk
         p = jnp.take(x_panels, pi, axis=0)  # (step, tc, h) — one read
-        out = jnp.einsum(
+        o = jnp.einsum(
             "ptrk,pkh->ptrh", t, p.astype(cdt),
             preferred_element_type=jnp.float32,
         )
-        acc = acc.at[rows].add(out.reshape(step * t_fix * tr, h))
+        acc = acc.at[rows].add(
+            o.reshape(step * t_fix * tr, h).astype(acc.dtype)
+        )
         return acc, None
 
-    acc, _ = jax.lax.scan(
-        body, jnp.zeros((n_rb * tr, h), jnp.float32),
-        (tiles_s, pidx_s, rows_s),
-    )
-    return acc.reshape(n_rb, tr, h)
+    acc, _ = jax.lax.scan(body, out, (tiles_s, pidx_s, rows_s))
+    return acc
 
 
 def bcsr_scan_spmm(x, panel_nodes, tiles, panel_idx, vblock_to_rb,
-                   n_rb: int, step: int, q_scale=None):
-    """BCSR tile tier compute body (core/bcsr.py tables).
+                   row_nodes, out, step: int, q_scale=None):
+    """Row-block-major BCSR compute body (core/bcsr.py tables).
 
     One panel-table gather amortizes each gather issue over a contiguous
     (128, H) block of rank-permuted x; the per-step compute is one MXU
-    matmul (Tr, S·128) @ (S·128, H) per virtual row block; virtual blocks
-    merge by a sorted segment-sum. Returns (n_rb, Tr, H) partials in f32.
-    """
+    matmul (Tr, S·128) @ (S·128, H) per virtual row block; partials
+    scatter-add DIRECTLY into the caller's (nrows, H) output carry via
+    ``row_nodes`` — no intermediate (n_rb·Tr, H) buffer (the stacked /
+    double-buffered forms cost 3+ GB each at products scale)."""
     h = x.shape[1]
     n_vb, s, tr, tc = tiles.shape
     x_panels = jnp.take(x, panel_nodes, axis=0)
@@ -241,15 +244,11 @@ def bcsr_scan_spmm(x, panel_nodes, tiles, panel_idx, vblock_to_rb,
     n_steps = n_vb // step
     tiles_s = tiles.reshape(n_steps, step, s, tr, tc)
     pidx_s = panel_idx.reshape(n_steps, step, s)
-    # per-step output ROW indices (row-block id expanded to its Tr rows);
-    # the scan accumulates into the final buffer via scatter-add instead
-    # of stacking per-step partials — stacking costs n_vb·Tr·H·4 bytes of
-    # HLO temp ON TOP of the result buffer (3+ GB each at products
-    # scale: the round-2 OOM)
-    rows_s = (
+    rank_rows = (
         vblock_to_rb.astype(jnp.int32)[:, None] * tr
         + jnp.arange(tr, dtype=jnp.int32)[None, :]
     ).reshape(n_steps, step * tr)
+    rows_s = jnp.take(row_nodes.astype(jnp.int32), rank_rows)
     cdt = tiles.dtype
 
     def body(acc, blk):
@@ -259,20 +258,17 @@ def bcsr_scan_spmm(x, panel_nodes, tiles, panel_idx, vblock_to_rb,
             step, s * tc, h
         )
         tt = t.transpose(0, 2, 1, 3).reshape(step, tr, s * tc)
-        out = jnp.einsum(
+        o = jnp.einsum(
             "brk,bkh->brh", tt, p.astype(cdt),
             preferred_element_type=jnp.float32,
         )
-        # NOT sorted: a row block split into multiple virtual blocks
-        # repeats its row range within a step (descending jump)
-        acc = acc.at[rows].add(out.reshape(step * tr, h))
+        acc = acc.at[rows].add(
+            o.reshape(step * tr, h).astype(acc.dtype)
+        )
         return acc, None
 
-    acc, _ = jax.lax.scan(
-        body, jnp.zeros((n_rb * tr, h), jnp.float32),
-        (tiles_s, pidx_s, rows_s),
-    )
-    return acc.reshape(n_rb, tr, h)
+    acc, _ = jax.lax.scan(body, out, (tiles_s, pidx_s, rows_s))
+    return acc
 
 
 class PreparedSpmm:
@@ -756,20 +752,19 @@ class PreparedSpmm:
                 out = out.at[core_nodes].add(core_out.astype(out.dtype))
             if getattr(self, "has_bcsr", False):
                 if self.bcsr_kind == "panel":
-                    b = bcsr_panel_scan_spmm(
+                    out = bcsr_panel_scan_spmm(
                         x, dev["panel_nodes"], dev["tiles"],
                         dev["panel_idx"], dev["tile_rb"],
-                        self.bcsr_n_rb, self.bcsr_step, q_scale=safe,
+                        dev["row_nodes"], out, self.bcsr_step,
+                        q_scale=safe,
                     )
                 else:
-                    b = bcsr_scan_spmm(
+                    out = bcsr_scan_spmm(
                         x, dev["panel_nodes"], dev["tiles"],
                         dev["panel_idx"], dev["vblock_to_rb"],
-                        self.bcsr_n_rb, self.bcsr_step, q_scale=safe,
+                        dev["row_nodes"], out, self.bcsr_step,
+                        q_scale=safe,
                     )
-                out = out.at[dev["row_nodes"]].add(
-                    b.reshape(-1, x.shape[1]).astype(out.dtype)
-                )
         # dequantize (scale_edge = 1.0 as in the reference conv layers);
         # scale==0 ⇒ all-zero input ⇒ out·0 = the correct zeros
         return out * scale
@@ -857,13 +852,15 @@ class PreparedSpmm:
             )
             key = "tile_rb" if self.bcsr_kind == "panel" else "vblock_to_rb"
             bc = jax.jit(
-                lambda x, pn, t, pi, vb: fn(
-                    x, pn, t, pi, vb, self.bcsr_n_rb, self.bcsr_step
+                lambda x, pn, t, pi, vb, rn: fn(
+                    x, pn, t, pi, vb, rn,
+                    jnp.zeros((self.nrows, x.shape[1]), jnp.float32),
+                    self.bcsr_step,
                 )
             )
             out["bcsr_time(ms)"] = device_time(
                 bc, x, d["panel_nodes"], d["tiles"], d["panel_idx"],
-                d[key], iters=iters,
+                d[key], d["row_nodes"], iters=iters,
             ) * 1e3
         if b == "blocked":
             g = gather_only(d["colind"], 1)  # one step per nnz block
@@ -944,18 +941,15 @@ def _make_run(backend: str, prep: PreparedSpmm):
                 out = out.at[core_nodes].add(core_out.astype(out.dtype))
             if has_bcsr:
                 if b_panel:
-                    b = bcsr_panel_scan_spmm(
+                    out = bcsr_panel_scan_spmm(
                         x, panel_nodes, tiles, panel_idx, tile_rb,
-                        b_n_rb, b_step,
+                        row_nodes, out, b_step,
                     )
                 else:
-                    b = bcsr_scan_spmm(
+                    out = bcsr_scan_spmm(
                         x, panel_nodes, tiles, panel_idx, vblock_to_rb,
-                        b_n_rb, b_step,
+                        row_nodes, out, b_step,
                     )
-                out = out.at[row_nodes].add(
-                    b.reshape(-1, x.shape[1]).astype(out.dtype)
-                )
             return out
         return run
 
