@@ -116,8 +116,27 @@ def blocked_spmm(colind, vals, rowloc, row_slot, x, rows_pad: int):
     return jnp.take(flat, row_slot, axis=0)
 
 
+def ell_step_tables(cols2d, vals2d, vrow_to_row, chunk):
+    """Repack (nvr_pad, D) ELL tables into the scan's native layout:
+    ``(n_steps, chunk·D)`` flat steps + ``(n_steps, chunk)`` row targets.
+
+    Two reasons this is the STORED device layout (host-side reshape at
+    prepare, not in the jit): a (nvr, D) array tiles its last dim to 128
+    lanes — 2.7× HBM at the typical D≈48 — and the in-jit reshape
+    materialized a full padded COPY of both tables per compiled program
+    (measured 2×1.36 GB of HLO temp at ogbn-products scale)."""
+    nvr, d = cols2d.shape
+    n_steps = nvr // chunk
+    return (
+        np.ascontiguousarray(cols2d).reshape(n_steps, chunk * d),
+        np.ascontiguousarray(vals2d).reshape(n_steps, chunk * d),
+        np.ascontiguousarray(vrow_to_row).reshape(n_steps, chunk),
+    )
+
+
 def ell_scan_spmm_quant(
-    x, q_scale, q_dtype, cols2d, vals2d, vrow_to_row, chunk, degree, nrows
+    x, q_scale, q_dtype, cols2d, vals2d, vrow_to_row, chunk, degree, nrows,
+    out=None,
 ):
     """ELL scan with symmetric quantization FUSED into the gather
     consumer: each gathered block is ``round(g / q_scale)`` cast to the
@@ -125,60 +144,62 @@ def ell_scan_spmm_quant(
     (same rounding, same integer accumulation) but the (N, H) quantized
     copy of x is never materialized and no separate dequantize pass runs
     (the reference's quantize-in-aggregate hook, pyg_gcn_conv.py:130-137,
-    taken one step further)."""
+    taken one step further). Tables in step layout (ell_step_tables);
+    accumulates into ``out`` (or fresh zeros) — no stacked partial."""
     acc = accum_dtype(jnp.result_type(vals2d.dtype, jnp.dtype(q_dtype)))
     h = x.shape[1]
-    n_steps = cols2d.shape[0] // chunk
+    if out is None:
+        # + varying-zero: under shard_map the scan carry must share the
+        # body output's varying manual axes (see shard_map scan-vma docs)
+        out = jnp.zeros((nrows, h), acc) + (x[0, 0] * 0).astype(acc)
 
-    def body(_, blk):
-        c, v = blk
-        g = jnp.take(x, c.reshape(-1), axis=0).reshape(chunk, degree, h)
+    def body(a, blk):
+        c, v, rows = blk
+        g = jnp.take(x, c, axis=0).reshape(chunk, degree, h)
         # divide (not multiply-by-reciprocal): bit-identical rounding
         # to the unfused symmetric_quantize (quant/__init__.py:40)
         q = jnp.round(g / q_scale).astype(q_dtype)
-        return None, jnp.sum(
-            q.astype(acc) * v[..., None].astype(acc), axis=1
+        part = jnp.sum(
+            q.astype(acc) * v.reshape(chunk, degree, 1).astype(acc),
+            axis=1,
         )
+        return a.at[rows].add(
+            part.astype(a.dtype), indices_are_sorted=True
+        ), None
 
-    _, partial = jax.lax.scan(
-        body, None,
-        (
-            cols2d.reshape(n_steps, chunk, degree),
-            vals2d.reshape(n_steps, chunk, degree),
-        ),
-    )
-    return jax.ops.segment_sum(
-        partial.reshape(-1, h), vrow_to_row,
-        num_segments=nrows, indices_are_sorted=True,
-    )
+    acc_out, _ = jax.lax.scan(body, out, (cols2d, vals2d, vrow_to_row))
+    return acc_out
 
 
-def ell_scan_spmm(x, cols2d, vals2d, vrow_to_row, chunk, degree, nrows):
+def ell_scan_spmm(x, cols2d, vals2d, vrow_to_row, chunk, degree, nrows,
+                  out=None):
     """The ell backend's compute body (shared with the hybrid tail):
-    fixed-degree gather + fused weighted reduce under ``lax.scan``, then
-    one sorted segment-sum merging split hub rows."""
+    fixed-degree gather + fused weighted reduce under ``lax.scan``,
+    scatter-added per step into the output carry (rows sorted — the
+    virtual-row stream is non-decreasing). Tables in step layout
+    (ell_step_tables: (n_steps, chunk·D) / (n_steps, chunk)); stacking
+    per-step partials instead costs nvr·H·4 bytes of HLO temp (2.9 GB
+    at ogbn-products scale — the round-2 OOM, second edition)."""
     acc = accum_dtype(jnp.result_type(vals2d.dtype, x.dtype))
     h = x.shape[1]
-    n_steps = cols2d.shape[0] // chunk
+    if out is None:
+        # + varying-zero: shard_map scan carries must match the body's
+        # varying manual axes
+        out = jnp.zeros((nrows, h), acc) + (x[0, 0] * 0).astype(acc)
 
-    def body(_, blk):
-        c, v = blk
-        g = jnp.take(x, c.reshape(-1), axis=0).reshape(chunk, degree, h)
-        return None, jnp.sum(
-            g.astype(acc) * v[..., None].astype(acc), axis=1
+    def body(a, blk):
+        c, v, rows = blk
+        g = jnp.take(x, c, axis=0).reshape(chunk, degree, h)
+        part = jnp.sum(
+            g.astype(acc) * v.reshape(chunk, degree, 1).astype(acc),
+            axis=1,
         )
+        return a.at[rows].add(
+            part.astype(a.dtype), indices_are_sorted=True
+        ), None
 
-    _, partial = jax.lax.scan(
-        body, None,
-        (
-            cols2d.reshape(n_steps, chunk, degree),
-            vals2d.reshape(n_steps, chunk, degree),
-        ),
-    )
-    return jax.ops.segment_sum(
-        partial.reshape(-1, h), vrow_to_row,
-        num_segments=nrows, indices_are_sorted=True,
-    )
+    acc_out, _ = jax.lax.scan(body, out, (cols2d, vals2d, vrow_to_row))
+    return acc_out
 
 
 def bcsr_panel_scan_spmm(x, panel_nodes, tiles, panel_idx, tile_rb,
@@ -336,10 +357,13 @@ class PreparedSpmm:
             ell = build_ell_rows(csr, degree, row_chunk=chunk)
             self.ell_degree = ell.degree
             self.row_chunk = chunk
+            c3, v3, r3 = ell_step_tables(
+                ell.cols, ell.vals, ell.vrow_to_row, chunk
+            )
             self._dev = {
-                "cols2d": jnp.asarray(ell.cols),
-                "vals2d": jnp.asarray(ell.vals),
-                "vrow_to_row": jnp.asarray(ell.vrow_to_row),
+                "cols2d": jnp.asarray(c3),
+                "vals2d": jnp.asarray(v3),
+                "vrow_to_row": jnp.asarray(r3),
             }
         elif backend == "hybrid":
             # Dense hub-core on the MXU + ELL tail via the gather engine —
@@ -434,10 +458,14 @@ class PreparedSpmm:
         self.hybrid_k_eff = int(host["k"])
         self.ell_degree = int(host["degree"])
         self.row_chunk = int(host["chunk"])
+        c3, v3, r3 = ell_step_tables(
+            host["cols2d"], host["vals2d"], host["vrow_to_row"],
+            self.row_chunk,
+        )
         self._dev = {
-            "cols2d": jnp.asarray(host["cols2d"]),
-            "vals2d": jnp.asarray(host["vals2d"]),
-            "vrow_to_row": jnp.asarray(host["vrow_to_row"]),
+            "cols2d": jnp.asarray(c3),
+            "vals2d": jnp.asarray(v3),
+            "vrow_to_row": jnp.asarray(r3),
         }
         if self.hybrid_k_eff > 0:
             core = host["core"]
@@ -800,20 +828,18 @@ class PreparedSpmm:
         out = {"mul_time(ms)": device_time(self.mul, x, iters=iters) * 1e3}
         b = self.config.backend
 
-        def gather_only(cols2d, chunk):
-            steps = cols2d.shape[0] // chunk
-
+        def gather_only():
+            # step-layout tables: one (chunk·D,) index row per scan step
             def fn(x, c):
                 def body(acc, cc):
                     g = jnp.take(
-                        x, cc.reshape(-1), axis=0,
+                        x, cc, axis=0,
                         indices_are_sorted=False, unique_indices=False,
                     )
                     return acc + g.astype(jnp.float32).sum(axis=0), None
 
                 acc, _ = jax.lax.scan(
-                    body, jnp.zeros((x.shape[1],), jnp.float32),
-                    c.reshape(steps, chunk, -1),
+                    body, jnp.zeros((x.shape[1],), jnp.float32), c
                 )
                 return acc
 
@@ -821,7 +847,7 @@ class PreparedSpmm:
 
         if b in ("ell", "hybrid"):
             chunk, degree = self.row_chunk, self.ell_degree
-            g = gather_only(d["cols2d"], chunk)
+            g = gather_only()
             out["gather_time(ms)"] = (
                 device_time(g, x, d["cols2d"], iters=iters) * 1e3
             )
@@ -863,7 +889,7 @@ class PreparedSpmm:
                 d[key], d["row_nodes"], iters=iters,
             ) * 1e3
         if b == "blocked":
-            g = gather_only(d["colind"], 1)  # one step per nnz block
+            g = gather_only()  # one step per nnz block
             out["gather_time(ms)"] = (
                 device_time(g, x, d["colind"], iters=iters) * 1e3
             )

@@ -149,19 +149,28 @@ class PreparedSpmmHalo:
             return out
 
         # vrow padding targets the last local row (keeps indices sorted
-        # for the segment-sum); padded vals are 0 so the add is harmless
+        # for the scatter-add); padded vals are 0 so the add is harmless
         vfill = max(self.rows_per_dev - 1, 0)
         self.ell_degree, self.row_chunk = degree, chunk
+        from pygim_tpu.ops.spmm import ell_step_tables
+
+        steps = [
+            ell_step_tables(
+                pad_part(e.cols), pad_part(e.vals),
+                pad_part(e.vrow_to_row, vfill), chunk,
+            )
+            for e in ells
+        ]
         sh = NamedSharding(self.mesh, P("nodes"))
         return {
             "cols2d": jax.device_put(
-                np.stack([pad_part(e.cols) for e in ells]), sh
+                np.stack([t[0] for t in steps]), sh
             ),
             "vals2d": jax.device_put(
-                np.stack([pad_part(e.vals) for e in ells]), sh
+                np.stack([t[1] for t in steps]), sh
             ),
             "vrow_to_row": jax.device_put(
-                np.stack([pad_part(e.vrow_to_row, vfill) for e in ells]), sh
+                np.stack([t[2] for t in steps]), sh
             ),
         }
 

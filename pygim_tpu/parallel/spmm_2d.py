@@ -103,19 +103,28 @@ class PreparedSpmm2D:
 
         self.ell_degree, self.row_chunk = degree, chunk
         self.n_virtual_pad = nvr_pad
+        # step layout per part (ops/spmm.py:ell_step_tables — avoids the
+        # 128-lane padding of the D axis and the in-jit repack copy)
+        from pygim_tpu.ops.spmm import ell_step_tables
+
+        steps = [
+            ell_step_tables(
+                pad_part(e.cols), pad_part(e.vals),
+                pad_part(e.vrow_to_row, fill=max(self.nrows - 1, 0)),
+                chunk,
+            )
+            for e in ells
+        ]
         sharded = NamedSharding(mesh, P("sp"))
         self._dev = {
             "cols2d": jax.device_put(
-                np.stack([pad_part(e.cols) for e in ells]), sharded
+                np.stack([t[0] for t in steps]), sharded
             ),
             "vals2d": jax.device_put(
-                np.stack([pad_part(e.vals) for e in ells]), sharded
+                np.stack([t[1] for t in steps]), sharded
             ),
             "vrow_to_row": jax.device_put(
-                np.stack([
-                    pad_part(e.vrow_to_row, fill=max(self.nrows - 1, 0))
-                    for e in ells
-                ]), sharded
+                np.stack([t[2] for t in steps]), sharded
             ),
         }
         self._x_sharding = NamedSharding(mesh, P("sp", "ds"))
