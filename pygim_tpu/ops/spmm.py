@@ -33,6 +33,7 @@ retirement" for the full basis.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional
 
 import jax
@@ -134,6 +135,59 @@ def ell_step_tables(cols2d, vals2d, vrow_to_row, chunk):
     )
 
 
+# Per-call byte cap on the stacked ELL partial. Grouping trades the
+# round-1 single segment-sum (fast, but an (nvr, H) HLO temp — 2.9 GB at
+# ogbn-products scale) against the round-2 per-step scatter carry (memory
+# -lean, but measured 819→657 GB/s on reddit: the (nrows, H) scan carry
+# re-materializes per step). The grouped form stacks at most this many
+# bytes of partials per group and scatter-adds once per group — one group
+# on reddit (bit-identical to the fast path), ~12 on products.
+ELL_PARTIAL_BYTES = int(
+    os.environ.get("PYGIM_ELL_PARTIAL_BYTES", 256 << 20)
+)
+
+
+def _ell_grouped_scan(x, cols2d, vals2d, vrow_to_row, chunk, degree,
+                      nrows, out, part_fn):
+    """Shared grouped ELL driver. ``part_fn(gathered, vals) -> (chunk, H)``
+    partial sums in the accumulation dtype. Groups are static slices of
+    the step stream (unrolled outer loop — no (nrows, H) scan carry);
+    each group runs an inner ``lax.scan`` stacking ≤ ELL_PARTIAL_BYTES of
+    partials, then one sorted scatter-add (the virtual-row stream is
+    globally non-decreasing, so every slice is sorted too)."""
+    h = x.shape[1]
+    n_steps = cols2d.shape[0]
+    inner = max(1, min(
+        n_steps, ELL_PARTIAL_BYTES // max(1, chunk * h * 4)
+    ))
+
+    def body(_, blk):
+        c, v = blk
+        g = jnp.take(x, c, axis=0).reshape(chunk, degree, h)
+        return None, part_fn(g, v)
+
+    for lo in range(0, n_steps, inner):
+        hi = min(lo + inner, n_steps)
+        _, parts = jax.lax.scan(
+            body, None, (cols2d[lo:hi], vals2d[lo:hi])
+        )
+        seg = parts.reshape((hi - lo) * chunk, h)
+        rows = vrow_to_row[lo:hi].reshape((hi - lo) * chunk)
+        if out is None:
+            out = jax.ops.segment_sum(
+                seg, rows, num_segments=nrows, indices_are_sorted=True
+            )
+        else:
+            out = out.at[rows].add(
+                seg.astype(out.dtype), indices_are_sorted=True
+            )
+    if out is None:  # zero-edge shard: nothing to accumulate
+        out = jnp.zeros((nrows, h), part_fn.acc) + (x[0, 0] * 0).astype(
+            part_fn.acc
+        )
+    return out
+
+
 def ell_scan_spmm_quant(
     x, q_scale, q_dtype, cols2d, vals2d, vrow_to_row, chunk, degree, nrows,
     out=None,
@@ -145,61 +199,44 @@ def ell_scan_spmm_quant(
     copy of x is never materialized and no separate dequantize pass runs
     (the reference's quantize-in-aggregate hook, pyg_gcn_conv.py:130-137,
     taken one step further). Tables in step layout (ell_step_tables);
-    accumulates into ``out`` (or fresh zeros) — no stacked partial."""
+    grouped accumulation (_ell_grouped_scan) bounds the stacked partial."""
     acc = accum_dtype(jnp.result_type(vals2d.dtype, jnp.dtype(q_dtype)))
-    h = x.shape[1]
-    if out is None:
-        # + varying-zero: under shard_map the scan carry must share the
-        # body output's varying manual axes (see shard_map scan-vma docs)
-        out = jnp.zeros((nrows, h), acc) + (x[0, 0] * 0).astype(acc)
 
-    def body(a, blk):
-        c, v, rows = blk
-        g = jnp.take(x, c, axis=0).reshape(chunk, degree, h)
+    def part_fn(g, v):
         # divide (not multiply-by-reciprocal): bit-identical rounding
         # to the unfused symmetric_quantize (quant/__init__.py:40)
         q = jnp.round(g / q_scale).astype(q_dtype)
-        part = jnp.sum(
+        return jnp.sum(
             q.astype(acc) * v.reshape(chunk, degree, 1).astype(acc),
             axis=1,
         )
-        return a.at[rows].add(
-            part.astype(a.dtype), indices_are_sorted=True
-        ), None
 
-    acc_out, _ = jax.lax.scan(body, out, (cols2d, vals2d, vrow_to_row))
-    return acc_out
+    part_fn.acc = acc
+    return _ell_grouped_scan(
+        x, cols2d, vals2d, vrow_to_row, chunk, degree, nrows, out, part_fn
+    )
 
 
 def ell_scan_spmm(x, cols2d, vals2d, vrow_to_row, chunk, degree, nrows,
                   out=None):
     """The ell backend's compute body (shared with the hybrid tail):
     fixed-degree gather + fused weighted reduce under ``lax.scan``,
-    scatter-added per step into the output carry (rows sorted — the
-    virtual-row stream is non-decreasing). Tables in step layout
-    (ell_step_tables: (n_steps, chunk·D) / (n_steps, chunk)); stacking
-    per-step partials instead costs nvr·H·4 bytes of HLO temp (2.9 GB
-    at ogbn-products scale — the round-2 OOM, second edition)."""
+    accumulated in memory-bounded groups (_ell_grouped_scan): each group
+    stacks ≤ ELL_PARTIAL_BYTES of per-step partials and scatter-adds once
+    (sorted — the virtual-row stream is non-decreasing). Tables in step
+    layout (ell_step_tables: (n_steps, chunk·D) / (n_steps, chunk))."""
     acc = accum_dtype(jnp.result_type(vals2d.dtype, x.dtype))
-    h = x.shape[1]
-    if out is None:
-        # + varying-zero: shard_map scan carries must match the body's
-        # varying manual axes
-        out = jnp.zeros((nrows, h), acc) + (x[0, 0] * 0).astype(acc)
 
-    def body(a, blk):
-        c, v, rows = blk
-        g = jnp.take(x, c, axis=0).reshape(chunk, degree, h)
-        part = jnp.sum(
+    def part_fn(g, v):
+        return jnp.sum(
             g.astype(acc) * v.reshape(chunk, degree, 1).astype(acc),
             axis=1,
         )
-        return a.at[rows].add(
-            part.astype(a.dtype), indices_are_sorted=True
-        ), None
 
-    acc_out, _ = jax.lax.scan(body, out, (cols2d, vals2d, vrow_to_row))
-    return acc_out
+    part_fn.acc = acc
+    return _ell_grouped_scan(
+        x, cols2d, vals2d, vrow_to_row, chunk, degree, nrows, out, part_fn
+    )
 
 
 def bcsr_panel_scan_spmm(x, panel_nodes, tiles, panel_idx, tile_rb,

@@ -514,3 +514,20 @@ class TestBcsrPanelLayout:
         panel = prepare_spmm(coo, SpmmConfig(bcsr_layout="panel", **common))
         row_edges = row.bcsr_edges if row.has_bcsr else 0
         assert panel.has_bcsr and panel.bcsr_edges >= row_edges
+
+
+def test_ell_grouped_accumulation(rng, monkeypatch):
+    """Forcing a tiny partial budget exercises the multi-group path
+    (several inner scans + per-group scatter-adds, incl. a short
+    remainder group); result must stay exact vs the dense reference."""
+    import pygim_tpu.ops.spmm as spmm_mod
+
+    coo = random_coo(rng, nrows=300, ncols=300, nnz=4000)
+    x = rng.standard_normal((300, 32)).astype(np.float32)
+    ref = _dense_ref(coo, x)
+    cfg = SpmmConfig(backend="ell", ell_degree=8, block_nnz_budget=64)
+    one = np.asarray(prepare_spmm(coo, cfg).mul(x))
+    monkeypatch.setattr(spmm_mod, "ELL_PARTIAL_BYTES", 3 * 8 * 32 * 4)
+    many = np.asarray(prepare_spmm(coo, cfg).mul(x))
+    np.testing.assert_allclose(many, ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(one, many)
