@@ -213,8 +213,14 @@ def run_inference_benchmark(
         # BASELINE "per-layer activations allclose" clause at any scale
         from pygim_tpu.bench.validate import validate_inference_sampled
 
+        # fused-capable jitted adapter (not a bare lambda): validation
+        # probes the fused-quant hook, staying on the memory-lean device
+        # path (the unfused (N, H) quantize round-trip OOM'd at
+        # ogbn-products scale)
+        from pygim_tpu.bench.validate import JittedAggregate
+
         ok = validate_inference_sampled(
-            graph, gnn, x, lambda v: prep.mul(v), reporter=rep,
+            graph, gnn, x, JittedAggregate(prep), reporter=rep,
         )
         if not ok:
             raise AssertionError("per-layer validation failed")

@@ -266,21 +266,32 @@ def bcsr_panel_scan_spmm(x, panel_nodes, tiles, panel_idx, tile_rb,
     ).reshape(n_steps, step * t_fix * tr)
     rows_s = jnp.take(row_nodes.astype(jnp.int32), rank_rows)
     cdt = tiles.dtype
+    per_rows = step * t_fix * tr
+    # memory-bounded groups (see _ell_grouped_scan): inner scans stack
+    # ≤ ELL_PARTIAL_BYTES of tile partials, one scatter-add per group —
+    # no (nrows, H) scan carry (measured to re-materialize per step)
+    inner = max(1, min(
+        n_steps, ELL_PARTIAL_BYTES // max(1, per_rows * h * 4)
+    ))
 
-    def body(acc, blk):
-        t, pi, rows = blk
+    def body(_, blk):
+        t, pi = blk
         p = jnp.take(x_panels, pi, axis=0)  # (step, tc, h) — one read
         o = jnp.einsum(
             "ptrk,pkh->ptrh", t, p.astype(cdt),
             preferred_element_type=jnp.float32,
         )
-        acc = acc.at[rows].add(
-            o.reshape(step * t_fix * tr, h).astype(acc.dtype)
-        )
-        return acc, None
+        return None, o.reshape(per_rows, h)
 
-    acc, _ = jax.lax.scan(body, out, (tiles_s, pidx_s, rows_s))
-    return acc
+    for lo in range(0, n_steps, inner):
+        hi = min(lo + inner, n_steps)
+        _, parts = jax.lax.scan(
+            body, None, (tiles_s[lo:hi], pidx_s[lo:hi])
+        )
+        out = out.at[rows_s[lo:hi].reshape(-1)].add(
+            parts.reshape((hi - lo) * per_rows, h).astype(out.dtype)
+        )
+    return out
 
 
 def bcsr_scan_spmm(x, panel_nodes, tiles, panel_idx, vblock_to_rb,
@@ -308,9 +319,16 @@ def bcsr_scan_spmm(x, panel_nodes, tiles, panel_idx, vblock_to_rb,
     ).reshape(n_steps, step * tr)
     rows_s = jnp.take(row_nodes.astype(jnp.int32), rank_rows)
     cdt = tiles.dtype
+    per_rows = step * tr
+    # memory-bounded groups (see _ell_grouped_scan): inner scans stack
+    # ≤ ELL_PARTIAL_BYTES of tile partials, one scatter-add per group —
+    # no (nrows, H) scan carry (measured to re-materialize per step)
+    inner = max(1, min(
+        n_steps, ELL_PARTIAL_BYTES // max(1, per_rows * h * 4)
+    ))
 
-    def body(acc, blk):
-        t, pi, rows = blk
+    def body(_, blk):
+        t, pi = blk
         # (step, s, tc, h) panel gather — 128-row blocks, bandwidth-bound
         p = jnp.take(x_panels, pi.reshape(-1), axis=0).reshape(
             step, s * tc, h
@@ -320,13 +338,17 @@ def bcsr_scan_spmm(x, panel_nodes, tiles, panel_idx, vblock_to_rb,
             "brk,bkh->brh", tt, p.astype(cdt),
             preferred_element_type=jnp.float32,
         )
-        acc = acc.at[rows].add(
-            o.reshape(step * tr, h).astype(acc.dtype)
-        )
-        return acc, None
+        return None, o.reshape(per_rows, h)
 
-    acc, _ = jax.lax.scan(body, out, (tiles_s, pidx_s, rows_s))
-    return acc
+    for lo in range(0, n_steps, inner):
+        hi = min(lo + inner, n_steps)
+        _, parts = jax.lax.scan(
+            body, None, (tiles_s[lo:hi], pidx_s[lo:hi])
+        )
+        out = out.at[rows_s[lo:hi].reshape(-1)].add(
+            parts.reshape((hi - lo) * per_rows, h).astype(out.dtype)
+        )
+    return out
 
 
 class PreparedSpmm:

@@ -194,3 +194,38 @@ def test_scaling_experiment_kind(tmp_path):
     assert nmax > 1  # virtual mesh provides 8 devices
     assert f"scaling_efficiency_n{nmax}" in means
     assert exp.status_at(tmp_path) == "done"
+
+
+def test_validate_sampled_fused_quant(tmp_path):
+    """validate_inference_sampled on an int8 model via JittedAggregate:
+    the fused-quant hook records (float in, dequantized out, qname) and
+    the host replica of the quantization keeps the check near-bit-exact
+    (the memory-lean path used at ogbn-products scale)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pygim_tpu.bench.validate import (
+        JittedAggregate, _RecordingAggregate, validate_inference_sampled,
+    )
+    from pygim_tpu.data import load_dataset
+    from pygim_tpu.nn.models import make_gnn
+    from pygim_tpu.ops.spmm import SpmmConfig, prepare_spmm
+
+    ds = load_dataset("tiny", root=str(tmp_path))
+    model = make_gnn(
+        jax.random.key(0), "gcn", ds.x.shape[1], 16, 4, agg_dtype="int8"
+    )
+    x = jnp.asarray(ds.x, dtype=jnp.float32)
+    prep = prepare_spmm(ds.graph, SpmmConfig(backend="ell"))
+    agg = _RecordingAggregate(JittedAggregate(prep))
+    assert validate_inference_sampled(
+        ds.graph, model, x, JittedAggregate(prep), rows_to_check=64
+    )
+    # the hook path was actually taken (records carry the quant dtype)
+    out = agg.quantized(x, "int8")
+    assert out is not None and agg.records[-1][2] == "int8"
+    # unfused fallback (blocked backend) still validates
+    blocked = prepare_spmm(ds.graph, SpmmConfig(backend="blocked"))
+    assert validate_inference_sampled(
+        ds.graph, model, x, JittedAggregate(blocked), rows_to_check=64
+    )
