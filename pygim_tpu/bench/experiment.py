@@ -118,6 +118,11 @@ class Experiment:
                 from pygim_tpu.tune import autotune
 
                 cfg = autotune(ds.graph, self.hidden).config
+                # record the tuner's pick — the frozen name carries the
+                # PRE-tune backend, so the choice must be observable here
+                rep.report("tuned_backend", cfg.backend)
+                rep.report("tuned_balance", cfg.balance)
+                rep.report("tuned_block_nnz_budget", cfg.block_nnz_budget)
             mesh = None
             if self.sp_parts * self.ds_parts > 1:
                 from pygim_tpu.parallel import make_mesh
