@@ -223,19 +223,21 @@ _ELL_DEGREE_CANDIDATES = (4, 8, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512)
 def choose_ell_degree(
     row_lengths: np.ndarray,
     hidden: Optional[int] = None,
-    partial_budget_bytes: int = 2 << 30,
+    partial_budget_bytes: int = 2 << 30,  # retained for API compat
 ) -> int:
-    """Auto degree D: argmin over candidates of the padded edge count
-    ``Σ_r ceil(deg_r / D) · D`` plus a small per-virtual-row overhead term
-    (each virtual row costs one merge slot in the final segment-sum) —
-    the gather-bound runtime model: padded edges are gathered, virtual
-    rows are scattered.
+    """Auto degree D: argmin over candidates of the gather-bound runtime
+    model ``Σ_r ceil(deg_r / D) · D  +  c(H) · n_virtual``: padded slots
+    are gathered (~7 ns issue each, CLAUDE.md measurements) and each
+    virtual row costs a stacked-partial write + read + scatter-update of
+    an (H,) f32 row (3 HBM passes at ~819 GB/s) plus ~2 ns of scatter
+    issue — c(H) ≈ (3·4H/819e9 + 2e-9)/7e-9 ≈ H/478 + 0.3 in units of
+    slot-gathers.
 
-    When ``hidden`` is given, the choice is additionally constrained so
-    the scan's stacked partial ``(n_virtual, hidden)`` stays under
-    ``partial_budget_bytes`` (HBM guard for huge graphs): D is raised
-    until the constraint holds or candidates run out (n_virtual can never
-    go below the number of non-empty rows)."""
+    The former (n_virtual, hidden) stacked-partial HBM guard is gone:
+    grouped accumulation (ops/spmm.py:_ell_grouped_scan) bounds the
+    partial at ELL_PARTIAL_BYTES for any D, so the degree choice is
+    purely the runtime argmin (on ogbn-products the old guard forced
+    D=48 at 53% fill — 1.85× padded-slot blowup)."""
     deg = row_lengths[row_lengths > 0].astype(np.int64)
     if deg.size == 0:
         return 4
@@ -243,27 +245,13 @@ def choose_ell_degree(
     def n_virtual(d):
         return int((-(-deg // d)).sum())
 
+    c_vr = 2.0 if hidden is None else hidden / 478.0 + 0.3
     best_d, best_cost = 4, float("inf")
     for d in _ELL_DEGREE_CANDIDATES:
         n_vr = n_virtual(d)
-        cost = float(n_vr * d) + 2.0 * float(n_vr)
+        cost = float(n_vr * d) + c_vr * float(n_vr)
         if cost < best_cost - 1e-9:
             best_d, best_cost = d, cost
-    if hidden is not None:
-        nnz = int(deg.sum())
-        i = _ELL_DEGREE_CANDIDATES.index(best_d)
-        while (
-            n_virtual(_ELL_DEGREE_CANDIDATES[i]) * hidden * 4
-            > partial_budget_bytes
-            and i + 1 < len(_ELL_DEGREE_CANDIDATES)
-            # never trade more than 2× padded-edge blowup for memory:
-            # n_virtual is floored at the non-empty row count anyway
-            and n_virtual(_ELL_DEGREE_CANDIDATES[i + 1])
-            * _ELL_DEGREE_CANDIDATES[i + 1]
-            <= 2 * max(nnz, 1)
-        ):
-            i += 1
-        best_d = _ELL_DEGREE_CANDIDATES[i]
     return best_d
 
 

@@ -145,6 +145,21 @@ def ell_step_tables(cols2d, vals2d, vrow_to_row, chunk):
 ELL_PARTIAL_BYTES = int(
     os.environ.get("PYGIM_ELL_PARTIAL_BYTES", 256 << 20)
 )
+# Unrolled-group cap: each group is its own (scan + scatter-add) pair in
+# the HLO, so unbounded group counts bloat the program (remote compiles
+# on the tunnel are minutes-per-program); past the cap the partial budget
+# is allowed to grow instead.
+ELL_MAX_GROUPS = int(os.environ.get("PYGIM_ELL_MAX_GROUPS", 24))
+
+
+def _group_inner(n_steps: int, bytes_per_step: int) -> int:
+    """Steps per group: honor ELL_PARTIAL_BYTES, but never exceed
+    ELL_MAX_GROUPS groups."""
+    if n_steps <= 0:
+        return 1
+    inner = max(1, ELL_PARTIAL_BYTES // max(1, bytes_per_step))
+    inner = max(inner, -(-n_steps // ELL_MAX_GROUPS))
+    return min(inner, n_steps)
 
 
 def _ell_grouped_scan(x, cols2d, vals2d, vrow_to_row, chunk, degree,
@@ -157,9 +172,7 @@ def _ell_grouped_scan(x, cols2d, vals2d, vrow_to_row, chunk, degree,
     globally non-decreasing, so every slice is sorted too)."""
     h = x.shape[1]
     n_steps = cols2d.shape[0]
-    inner = max(1, min(
-        n_steps, ELL_PARTIAL_BYTES // max(1, chunk * h * 4)
-    ))
+    inner = _group_inner(n_steps, chunk * h * 4)
 
     def body(_, blk):
         c, v = blk
@@ -268,11 +281,9 @@ def bcsr_panel_scan_spmm(x, panel_nodes, tiles, panel_idx, tile_rb,
     cdt = tiles.dtype
     per_rows = step * t_fix * tr
     # memory-bounded groups (see _ell_grouped_scan): inner scans stack
-    # ≤ ELL_PARTIAL_BYTES of tile partials, one scatter-add per group —
-    # no (nrows, H) scan carry (measured to re-materialize per step)
-    inner = max(1, min(
-        n_steps, ELL_PARTIAL_BYTES // max(1, per_rows * h * 4)
-    ))
+    # bounded tile partials, one scatter-add per group — no (nrows, H)
+    # scan carry (measured to re-materialize per step)
+    inner = _group_inner(n_steps, per_rows * h * 4)
 
     def body(_, blk):
         t, pi = blk
@@ -321,11 +332,9 @@ def bcsr_scan_spmm(x, panel_nodes, tiles, panel_idx, vblock_to_rb,
     cdt = tiles.dtype
     per_rows = step * tr
     # memory-bounded groups (see _ell_grouped_scan): inner scans stack
-    # ≤ ELL_PARTIAL_BYTES of tile partials, one scatter-add per group —
-    # no (nrows, H) scan carry (measured to re-materialize per step)
-    inner = max(1, min(
-        n_steps, ELL_PARTIAL_BYTES // max(1, per_rows * h * 4)
-    ))
+    # bounded tile partials, one scatter-add per group — no (nrows, H)
+    # scan carry (measured to re-materialize per step)
+    inner = _group_inner(n_steps, per_rows * h * 4)
 
     def body(_, blk):
         t, pi = blk
@@ -489,6 +498,9 @@ class PreparedSpmm:
         h.update(coo.cols[::stride].tobytes())
         h.update(np.ascontiguousarray(coo.vals[::stride]).tobytes())
         h.update(str(coo.vals.dtype).encode())
+        # layout/algorithm version: bump when the prepare-time layout or
+        # the auto-degree model changes, so stale cached tables rebuild
+        h.update(b"prep-v3-")
         h.update(
             f"{config.hybrid_k}-{config.hybrid_core_bytes}-"
             f"{config.hybrid_dtype}-{config.ell_degree}-"
