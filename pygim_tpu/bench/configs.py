@@ -32,16 +32,16 @@ BASELINE_EXPERIMENTS = [
                sp_format="coo", tune=True),
     Experiment(dataset="ogbn-arxiv", kind="inference", model="sage",
                sp_format="csr", tune=True),
-    # (4) INT8-quantized GCN on ogbn-products — hybrid core + BCSR
-    # middle tier covers the flat part of its degree distribution
-    # panel-major tiles: measured-best coverage on the flat products
-    # degree distribution (docs/PERF.md round-2 tables); core shrinks to
-    # fit next to the tile store + panel cache in 16 GiB HBM
+    # (4) INT8-quantized GCN on ogbn-products — max-size int8 hub-core,
+    # no middle tier: the measured coverage curve (docs/PERF.md round-2)
+    # shows 1 GiB of core streams in ~1.2 ms/mul but removes ≥5 ms of
+    # issue-bound tail gather at EVERY k that fits HBM, and beats BCSR
+    # tiles ~3× in coverage per byte — so the whole budget goes to the
+    # core (k=92672 ⇒ 48.9% of edges dense vs 34.4% in the round-1
+    # bf16-core config)
     Experiment(dataset="ogbn-products", kind="inference", model="gcn",
-               dtype="int8", backend="hybrid", hybrid_dtype="bfloat16",
-               hybrid_core_bytes=2 << 30, bcsr_bytes=2560 << 20,
-               bcsr_tile=8, bcsr_order="rcm", bcsr_layout="panel",
-               validate=True),
+               dtype="int8", backend="hybrid", hybrid_dtype="int8",
+               hybrid_core_bytes=8 << 30, validate=True),
     # (5) ogbn-papers100M GCN edge-partitioned multi-host with ICI halo
     # exchange — rehearsal scale: an R-MAT with papers100M's density
     # (~14.5 edges/node) sized so one shard fits the virtual-mesh hosts;

@@ -74,7 +74,10 @@ class SpmmConfig:
                                            # 0 disables the dense core)
     hybrid_core_bytes: int = 4 << 30       # core memory budget
     hybrid_dtype: Optional[str] = None     # core dtype (None = vals dtype;
-                                           # 'bfloat16' halves core traffic)
+                                           # 'bfloat16' halves core traffic;
+                                           # 'int8' halves it again for
+                                           # integer-valued graphs — k
+                                           # grows √2 per halving)
     # hybrid BCSR middle tier: dense (bcsr_tile, 128) tiles in rank space
     # between the core and the ELL tail (core/bcsr.py). 0 bytes = off.
     bcsr_bytes: int = 0                    # tile-store budget
@@ -250,6 +253,28 @@ def ell_scan_spmm(x, cols2d, vals2d, vrow_to_row, chunk, degree, nrows,
     return _ell_grouped_scan(
         x, cols2d, vals2d, vrow_to_row, chunk, degree, nrows, out, part_fn
     )
+
+
+def _core_matmul(core, xq, acc):
+    """Dense hub-core product with dtype-aware MXU routing. An int8 core
+    multiplies int8 payloads on the MXU's double-rate s8 path with exact
+    int32 accumulation; wider integer payloads (int16/int32 quantization,
+    |q| up to 2^19 — not int8-representable) promote both operands to
+    int32; float payloads ride bf16 (core cells are integers ≤127, exact
+    in bf16's 8-bit mantissa). Non-int8 cores keep their native dtype."""
+    if core.dtype == jnp.int8:
+        if xq.dtype == jnp.int8:
+            return jnp.dot(core, xq, preferred_element_type=jnp.int32)
+        if jnp.issubdtype(xq.dtype, jnp.integer):
+            return jnp.dot(
+                core.astype(jnp.int32), xq.astype(jnp.int32),
+                preferred_element_type=jnp.int32,
+            )
+        return jnp.dot(
+            core.astype(jnp.bfloat16), xq.astype(jnp.bfloat16),
+            preferred_element_type=acc,
+        )
+    return jnp.dot(core, xq.astype(core.dtype), preferred_element_type=acc)
 
 
 def bcsr_panel_scan_spmm(x, panel_nodes, tiles, panel_idx, tile_rb,
@@ -446,16 +471,23 @@ class PreparedSpmm:
             if coo.nrows != coo.ncols:
                 raise ValueError("hybrid backend requires square adjacency")
             if not np.issubdtype(coo.vals.dtype, np.floating):
-                # integer aggregation rides the bf16 core: int8 payloads
-                # (|v| ≤ 2^4 after symmetric quantization, quantize.py:22)
-                # and small multi-edge counts are exact in bf16; the tail
-                # stays exact-integer through the ell path.
-                if config.hybrid_dtype not in (None, "bfloat16"):
+                # integer aggregation rides a bf16 or int8 core: int8
+                # payloads (|v| ≤ 2^4 after symmetric quantization,
+                # quantize.py:22) and small multi-edge counts are exact in
+                # both; the tail stays exact-integer through the ell path.
+                # An int8 core halves bytes/cell (k grows √2 at the same
+                # HBM budget) and rides the MXU's double-rate s8 path;
+                # prepare raises if any core cell falls outside the int8
+                # range (the caller should use bfloat16 then).
+                if config.hybrid_dtype not in (None, "bfloat16", "int8"):
                     raise ValueError(
                         "integer hybrid aggregation requires a bfloat16 "
-                        "core"
+                        "or int8 core"
                     )
-                config = dataclasses.replace(config, hybrid_dtype="bfloat16")
+                if config.hybrid_dtype is None:
+                    config = dataclasses.replace(
+                        config, hybrid_dtype="bfloat16"
+                    )
                 self.config = config
                 coo = dataclasses.replace(
                     coo, vals=coo.vals.astype(np.float32)
@@ -621,6 +653,20 @@ class PreparedSpmm:
                 ).reshape(k, k).astype(np.float32)
             if core_dtype == "bfloat16":
                 dense = native.f32_to_bf16_bits(dense).reshape(k, k)
+            elif core_dtype == "int8":
+                # exact-integer core: every cell (sum of merged duplicate
+                # edge values) must be an int8-representable integer —
+                # true for values-default-ones adjacencies (the reference
+                # int-dtype configs, backend_pim/spmm.py:31-55)
+                r = np.round(dense)
+                if np.abs(r).max(initial=0.0) > 127 or not np.array_equal(
+                    r, dense
+                ):
+                    raise ValueError(
+                        "int8 hybrid core: core cells exceed the int8 "
+                        "integer range; use hybrid_dtype='bfloat16'"
+                    )
+                dense = r.astype(np.int8)
         pt.stop("core_fill")
 
         host: dict = {"k": np.int64(k), "core_dtype": np.str_(core_dtype)}
@@ -671,7 +717,12 @@ class PreparedSpmm:
                 n=n, tile_rows=config.bcsr_tile,
                 budget_bytes=config.bcsr_bytes,
                 hidden=config.hidden_hint,
-                dtype="bfloat16" if core_dtype == "bfloat16" else "float32",
+                # tiles stay bf16 alongside an int8 core (exact for the
+                # quantized payload range; int8 tiles would truncate the
+                # raw-float mul path)
+                dtype="bfloat16"
+                if core_dtype in ("bfloat16", "int8")
+                else "float32",
                 min_edges=config.bcsr_min_edges,
             )
             brr = t_rank[coo.rows[t_idx]]
@@ -846,8 +897,8 @@ class PreparedSpmm:
                 core, core_nodes = dev["core"], dev["core_nodes"]
                 xc = jnp.round(
                     jnp.take(x, core_nodes, axis=0) / safe
-                ).astype(core.dtype)
-                core_out = jnp.dot(core, xc, preferred_element_type=acc)
+                ).astype(qdt)
+                core_out = _core_matmul(core, xc, acc)
                 out = out.at[core_nodes].add(core_out.astype(out.dtype))
             if getattr(self, "has_bcsr", False):
                 if self.bcsr_kind == "panel":
@@ -933,9 +984,8 @@ class PreparedSpmm:
             ) * 1e3
         if b == "hybrid" and self.hybrid_k_eff > 0:
             core = jax.jit(
-                lambda x, c, n: jnp.dot(
-                    c, jnp.take(x, n, axis=0).astype(c.dtype),
-                    preferred_element_type=jnp.float32,
+                lambda x, c, n: _core_matmul(
+                    c, jnp.take(x, n, axis=0), jnp.float32
                 )
             )
             out["core_time(ms)"] = device_time(
@@ -1031,9 +1081,8 @@ def _make_run(backend: str, prep: PreparedSpmm):
                 x, cols2d, vals2d, vrow_to_row, chunk, degree, nrows
             )
             if has_core:
-                x_core = jnp.take(x, core_nodes, axis=0).astype(core.dtype)
-                core_out = jnp.dot(
-                    core, x_core, preferred_element_type=acc
+                core_out = _core_matmul(
+                    core, jnp.take(x, core_nodes, axis=0), acc
                 )
                 out = out.at[core_nodes].add(core_out.astype(out.dtype))
             if has_bcsr:

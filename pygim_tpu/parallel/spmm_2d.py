@@ -32,7 +32,7 @@ from pygim_tpu.core.partition import (
     choose_ell_degree,
     round_up,
 )
-from pygim_tpu.ops.spmm import SpmmConfig, ell_scan_spmm
+from pygim_tpu.ops.spmm import SpmmConfig, _core_matmul, ell_scan_spmm
 
 
 class PreparedSpmm2D:
@@ -143,7 +143,7 @@ class PreparedSpmm2D:
         rank[order] = np.arange(n, dtype=np.int32)
 
         core_dtype = config.hybrid_dtype or "float32"
-        itemsize = 2 if core_dtype == "bfloat16" else 4
+        itemsize = {"bfloat16": 2, "int8": 1}.get(core_dtype, 4)
         if config.hybrid_k is not None:
             k = max(1, min(config.hybrid_k, n))
         else:
@@ -167,9 +167,9 @@ class PreparedSpmm2D:
             sel = np.flatnonzero(owner == s)
             pos_in_shard[sel] = np.arange(sel.size)
             sels.append(sel)
-        np_core = (
-            ml_dtypes.bfloat16 if core_dtype == "bfloat16" else np.float32
-        )
+        np_core = {
+            "bfloat16": ml_dtypes.bfloat16, "int8": np.int8
+        }.get(core_dtype, np.float32)
         cores = np.zeros((sp, k, k_col_pad), dtype=np_core)
         core_rows = np.zeros((sp, k_col_pad), dtype=np.int32)
         for s, p in enumerate(parts):
@@ -184,6 +184,16 @@ class PreparedSpmm2D:
             slab = np.zeros((k, k_col_pad), dtype=np.float32)
             np.add.at(slab, (rr[in_core], pos_in_shard[cc[in_core]]),
                       p.vals[in_core].astype(np.float32))
+            if core_dtype == "int8":
+                r = np.round(slab)
+                if np.abs(r).max(initial=0.0) > 127 or not np.array_equal(
+                    r, slab
+                ):
+                    raise ValueError(
+                        "int8 hybrid core: core cells exceed the int8 "
+                        "integer range; use hybrid_dtype='bfloat16'"
+                    )
+                slab = r
             cores[s] = slab.astype(np_core)
             del slab
             core_rows[s, : sels[s].size] = order[:k][sels[s]] - lo
@@ -224,11 +234,9 @@ class PreparedSpmm2D:
                 )
                 if hybrid:
                     core, core_rows, core_nodes = core_args
-                    xc = jnp.take(x_local, core_rows[0], axis=0).astype(
-                        core.dtype
-                    )
-                    co = jnp.dot(
-                        core[0], xc, preferred_element_type=jnp.float32
+                    co = _core_matmul(
+                        core[0], jnp.take(x_local, core_rows[0], axis=0),
+                        jnp.float32,
                     )
                     out = out.at[core_nodes].add(co.astype(out.dtype))
                 if not merge:

@@ -64,7 +64,8 @@ DEFAULT_SPACE = (
 HYBRID_SPACE = (
     For("backend", ["hybrid"])
     * For("hybrid_core_bytes", [1 << 30, 4 << 30, 8 << 30, 12 << 30])
-    * For("hybrid_dtype", [None, "bfloat16"])
+    # int8 candidates are pruned in autotune() for non-integer graphs
+    * For("hybrid_dtype", [None, "bfloat16", "int8"])
     * For("balance", ["nnz"])
 )
 
@@ -119,7 +120,9 @@ def plan_statistics(
             # hub-core coverage estimate: degree-ranked top-k × top-k;
             # a 2d plan column-shards the core, so the same per-device
             # budget buys a √sp-larger core (parallel/spmm_2d.py:142)
-            itemsize = 2 if config.hybrid_dtype == "bfloat16" else dtype_bytes
+            itemsize = {"bfloat16": 2, "int8": 1}.get(
+                config.hybrid_dtype, dtype_bytes
+            )
             budget_eff = config.hybrid_core_bytes * max(1, sp)
             k = config.hybrid_k or min(
                 csr.nrows,
@@ -341,6 +344,12 @@ def autotune(
                 continue
             if cfg.backend == "hybrid" and not square:
                 continue
+            # the int8 core is exact-integer only (ops/spmm.py range
+            # guard); offer it solely for integer-valued graphs
+            if cfg.hybrid_dtype == "int8" and not np.issubdtype(
+                csr.vals.dtype, np.integer
+            ):
+                continue
             stats = plan_statistics(
                 csr, hidden, cfg, plan=dist, dtype_bytes=dtype_bytes,
                 _memo=memo,
@@ -381,12 +390,17 @@ def autotune(
         red = jax.jit(lambda o: jnp.sum(o))
         for point, dist in cands:
             shim = TuneResult(SpmmConfig(**point), dist, 0.0, None, [])
-            prep = prepare_tuned(csr, shim)
-            float(red(prep.mul(x)))  # compile + warm
-            t0 = time.time()
-            for _ in range(repeats):
-                out = prep.mul(x)
-            float(red(out))
+            try:
+                prep = prepare_tuned(csr, shim)
+                float(red(prep.mul(x)))  # compile + warm
+                t0 = time.time()
+                for _ in range(repeats):
+                    out = prep.mul(x)
+                float(red(out))
+            except Exception:
+                # infeasible candidate (e.g. int8 core range guard, OOM):
+                # skip it — the harness's .failed discipline, in-process
+                continue
             measured[_mkey(point, dist)] = (time.time() - t0) / repeats
 
     if measured:

@@ -78,6 +78,24 @@ def test_autotune_model_mode(rng, tmp_path, monkeypatch):
     assert res.predicted_s == min(preds)
 
 
+def test_autotune_int8_core_gating(rng, tmp_path, monkeypatch):
+    """int8 hybrid-core candidates appear for integer-valued graphs only
+    (the int8 core is exact-integer; float graphs can't ride it)."""
+    monkeypatch.setenv("PYGIM_TPU_TUNE_CACHE", str(tmp_path))
+    from pygim_tpu.tune.autotuner import HYBRID_SPACE
+
+    def dtypes(res):
+        return {p.get("hybrid_dtype") for p, _, _, _ in res.candidates}
+
+    coo_i = random_coo(rng, nrows=3000, ncols=3000, nnz=30000, dtype="int8")
+    res_i = autotune(coo_i, hidden=32, space=HYBRID_SPACE, use_cache=False)
+    assert "int8" in dtypes(res_i)
+
+    coo_f = random_coo(rng, nrows=3000, ncols=3000, nnz=30000)
+    res_f = autotune(coo_f, hidden=32, space=HYBRID_SPACE, use_cache=False)
+    assert "int8" not in dtypes(res_f)
+
+
 def test_autotune_cache_roundtrip(rng, tmp_path, monkeypatch):
     monkeypatch.setenv("PYGIM_TPU_TUNE_CACHE", str(tmp_path))
     # reload module-level cache dir
