@@ -82,6 +82,16 @@ def restore_checkpoint(path, params_template, extra_template: dict | None = None
     meta = json.loads((path / "meta.json").read_text())
     template = _to_tree(params_template, extra_template)
     flat_t, treedef = jax.tree_util.tree_flatten(template)
+    # structural check against the treedef recorded at save time: leaf
+    # count + shapes alone would let a reshuffled pytree (same-shape
+    # square weights, renamed layers) restore positionally into the
+    # wrong slots
+    saved_td = meta.get("treedef")
+    if saved_td is not None and saved_td != str(treedef):
+        raise ValueError(
+            f"checkpoint tree structure differs from template:\n"
+            f"  saved:    {saved_td}\n  template: {treedef}"
+        )
     if meta.get("format") == "orbax":
         if _ocp is None:
             raise RuntimeError(

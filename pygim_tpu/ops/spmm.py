@@ -278,7 +278,8 @@ def _core_matmul(core, xq, acc):
 
 
 def bcsr_panel_scan_spmm(x, panel_nodes, tiles, panel_idx, tile_rb,
-                         row_nodes, out, step: int, q_scale=None):
+                         row_nodes, out, step: int, q_scale=None,
+                         compute_dtype=None):
     """PANEL-MAJOR BCSR compute body (core/bcsr.py:build_bcsr_panels).
 
     Iterates column blocks: each step gathers ``step`` (128, H) panels
@@ -303,7 +304,10 @@ def bcsr_panel_scan_spmm(x, panel_nodes, tiles, panel_idx, tile_rb,
         + jnp.arange(tr, dtype=jnp.int32)[None, None, :]
     ).reshape(n_steps, step * t_fix * tr)
     rows_s = jnp.take(row_nodes.astype(jnp.int32), rank_rows)
-    cdt = tiles.dtype
+    # compute_dtype=f32 for wide integer quantization payloads (|q| up
+    # to 2^19 — bf16's exact-integer range is only 2^8; the bf16→f32
+    # tile upcast itself is lossless)
+    cdt = compute_dtype or tiles.dtype
     per_rows = step * t_fix * tr
     # memory-bounded groups (see _ell_grouped_scan): inner scans stack
     # bounded tile partials, one scatter-add per group — no (nrows, H)
@@ -314,7 +318,7 @@ def bcsr_panel_scan_spmm(x, panel_nodes, tiles, panel_idx, tile_rb,
         t, pi = blk
         p = jnp.take(x_panels, pi, axis=0)  # (step, tc, h) — one read
         o = jnp.einsum(
-            "ptrk,pkh->ptrh", t, p.astype(cdt),
+            "ptrk,pkh->ptrh", t.astype(cdt), p.astype(cdt),
             preferred_element_type=jnp.float32,
         )
         return None, o.reshape(per_rows, h)
@@ -331,7 +335,8 @@ def bcsr_panel_scan_spmm(x, panel_nodes, tiles, panel_idx, tile_rb,
 
 
 def bcsr_scan_spmm(x, panel_nodes, tiles, panel_idx, vblock_to_rb,
-                   row_nodes, out, step: int, q_scale=None):
+                   row_nodes, out, step: int, q_scale=None,
+                   compute_dtype=None):
     """Row-block-major BCSR compute body (core/bcsr.py tables).
 
     One panel-table gather amortizes each gather issue over a contiguous
@@ -354,7 +359,9 @@ def bcsr_scan_spmm(x, panel_nodes, tiles, panel_idx, vblock_to_rb,
         + jnp.arange(tr, dtype=jnp.int32)[None, :]
     ).reshape(n_steps, step * tr)
     rows_s = jnp.take(row_nodes.astype(jnp.int32), rank_rows)
-    cdt = tiles.dtype
+    # compute_dtype=f32 for wide integer quantization payloads (see
+    # bcsr_panel_scan_spmm)
+    cdt = compute_dtype or tiles.dtype
     per_rows = step * tr
     # memory-bounded groups (see _ell_grouped_scan): inner scans stack
     # bounded tile partials, one scatter-add per group — no (nrows, H)
@@ -369,7 +376,7 @@ def bcsr_scan_spmm(x, panel_nodes, tiles, panel_idx, vblock_to_rb,
         )
         tt = t.transpose(0, 2, 1, 3).reshape(step, tr, s * tc)
         o = jnp.einsum(
-            "brk,bkh->brh", tt, p.astype(cdt),
+            "brk,bkh->brh", tt.astype(cdt), p.astype(cdt),
             preferred_element_type=jnp.float32,
         )
         return None, o.reshape(per_rows, h)
@@ -477,8 +484,8 @@ class PreparedSpmm:
                 # both; the tail stays exact-integer through the ell path.
                 # An int8 core halves bytes/cell (k grows √2 at the same
                 # HBM budget) and rides the MXU's double-rate s8 path;
-                # prepare raises if any core cell falls outside the int8
-                # range (the caller should use bfloat16 then).
+                # cells outside the int8 integer range are demoted to the
+                # exact ELL tail at prepare.
                 if config.hybrid_dtype not in (None, "bfloat16", "int8"):
                     raise ValueError(
                         "integer hybrid aggregation requires a bfloat16 "
@@ -654,19 +661,46 @@ class PreparedSpmm:
             if core_dtype == "bfloat16":
                 dense = native.f32_to_bf16_bits(dense).reshape(k, k)
             elif core_dtype == "int8":
-                # exact-integer core: every cell (sum of merged duplicate
-                # edge values) must be an int8-representable integer —
-                # true for values-default-ones adjacencies (the reference
-                # int-dtype configs, backend_pim/spmm.py:31-55)
-                r = np.round(dense)
-                if np.abs(r).max(initial=0.0) > 127 or not np.array_equal(
-                    r, dense
-                ):
-                    raise ValueError(
-                        "int8 hybrid core: core cells exceed the int8 "
-                        "integer range; use hybrid_dtype='bfloat16'"
+                # exact-integer core: a cell (sum of merged duplicate
+                # edge values) rides the core only if it is an
+                # int8-representable integer; the rare offenders (e.g.
+                # >127 parallel edges between two hubs in an R-MAT sim)
+                # are zeroed in the core and DEMOTED to the exact ELL
+                # tail — correctness never depends on the core dtype.
+                # Row-chunked conversion: the f32 core is tens of GB at
+                # production k, so whole-array temps would double host RAM.
+                out8 = np.empty((k, k), dtype=np.int8)
+                bad_r, bad_c = [], []
+                for lo in range(0, k, 4096):
+                    blk = dense[lo : lo + 4096]
+                    rb = np.round(blk)
+                    bad = (np.abs(rb) > 127) | (rb != blk)
+                    if bad.any():
+                        br, bc = np.nonzero(bad)
+                        bad_r.append(br.astype(np.int64) + lo)
+                        bad_c.append(bc.astype(np.int64))
+                        rb = np.where(bad, 0.0, rb)
+                    out8[lo : lo + 4096] = rb
+                dense = out8
+                if bad_r:
+                    bad_flat = np.concatenate(bad_r) * k + np.concatenate(
+                        bad_c
                     )
-                dense = r.astype(np.int8)
+                    idx = np.flatnonzero(in_core)
+                    flat = (
+                        rank[coo.rows[idx]].astype(np.int64) * k
+                        + rank[coo.cols[idx]]
+                    )
+                    demote = np.isin(flat, bad_flat)
+                    in_core = in_core.copy()
+                    in_core[idx[demote]] = False
+                    import logging
+
+                    logging.getLogger("pygim_tpu").info(
+                        "int8 core: %d cells (%d edges) not int8-"
+                        "representable — demoted to the ELL tail",
+                        bad_flat.size, int(demote.sum()),
+                    )
         pt.stop("core_fill")
 
         host: dict = {"k": np.int64(k), "core_dtype": np.str_(core_dtype)}
@@ -717,9 +751,12 @@ class PreparedSpmm:
                 n=n, tile_rows=config.bcsr_tile,
                 budget_bytes=config.bcsr_bytes,
                 hidden=config.hidden_hint,
-                # tiles stay bf16 alongside an int8 core (exact for the
-                # quantized payload range; int8 tiles would truncate the
-                # raw-float mul path)
+                # tile STORAGE stays bf16 alongside an int8 core (cell
+                # values — merged small-int edge weights — are bf16-
+                # exact; int8 tiles would truncate the raw-float mul
+                # path). Wide quantized payloads are handled at COMPUTE
+                # time: the fused path upcasts tiles+panels to f32
+                # (raw_mul_quantized's compute_dtype).
                 dtype="bfloat16"
                 if core_dtype in ("bfloat16", "int8")
                 else "float32",
@@ -901,19 +938,24 @@ class PreparedSpmm:
                 core_out = _core_matmul(core, xc, acc)
                 out = out.at[core_nodes].add(core_out.astype(out.dtype))
             if getattr(self, "has_bcsr", False):
+                # wide integer payloads (int16/int32: |q| up to 2^19)
+                # exceed bf16's exact-integer range — compute the tile
+                # tier in f32 (exact: f32 carries 24 mantissa bits)
+                wide = q_dtype in ("int16", "int32", "int64")
+                cd = jnp.float32 if wide else None
                 if self.bcsr_kind == "panel":
                     out = bcsr_panel_scan_spmm(
                         x, dev["panel_nodes"], dev["tiles"],
                         dev["panel_idx"], dev["tile_rb"],
                         dev["row_nodes"], out, self.bcsr_step,
-                        q_scale=safe,
+                        q_scale=safe, compute_dtype=cd,
                     )
                 else:
                     out = bcsr_scan_spmm(
                         x, dev["panel_nodes"], dev["tiles"],
                         dev["panel_idx"], dev["vblock_to_rb"],
                         dev["row_nodes"], out, self.bcsr_step,
-                        q_scale=safe,
+                        q_scale=safe, compute_dtype=cd,
                     )
         # dequantize (scale_edge = 1.0 as in the reference conv layers);
         # scale==0 ⇒ all-zero input ⇒ out·0 = the correct zeros
@@ -1086,15 +1128,23 @@ def _make_run(backend: str, prep: PreparedSpmm):
                 )
                 out = out.at[core_nodes].add(core_out.astype(out.dtype))
             if has_bcsr:
+                # wide integer x (int16/int32 quantized payloads) exceeds
+                # bf16's exact range — compute the tile tier in f32 (the
+                # fused path makes the matching choice via q_dtype)
+                wide = (
+                    jnp.issubdtype(x.dtype, jnp.integer)
+                    and x.dtype != jnp.int8
+                )
+                cd = jnp.float32 if wide else None
                 if b_panel:
                     out = bcsr_panel_scan_spmm(
                         x, panel_nodes, tiles, panel_idx, tile_rb,
-                        row_nodes, out, b_step,
+                        row_nodes, out, b_step, compute_dtype=cd,
                     )
                 else:
                     out = bcsr_scan_spmm(
                         x, panel_nodes, tiles, panel_idx, vblock_to_rb,
-                        row_nodes, out, b_step,
+                        row_nodes, out, b_step, compute_dtype=cd,
                     )
             return out
         return run

@@ -343,13 +343,14 @@ class PreparedSpmmHalo:
                         perm=[(j, (j + s) % nd) for j in range(nd)],
                     )
                     blocks.append(rcv)
-                halo = jnp.concatenate(blocks, axis=0)
                 out = ell_scan_spmm(
                     x_loc, lcols[0], lvals[0], lvrow[0], lc, ld, rpd
                 )
-                out = out + ell_scan_spmm(
-                    halo, hcols[0], hvals[0], hvrow[0], hc, hd, rpd
-                )
+                if blocks:  # nd == 1: no peers, every edge is local
+                    halo = jnp.concatenate(blocks, axis=0)
+                    out = out + ell_scan_spmm(
+                        halo, hcols[0], hvals[0], hvrow[0], hc, hd, rpd
+                    )
                 return out[None]
 
             in_specs = (P("nodes"),) * (7 + nd - 1)

@@ -185,14 +185,22 @@ class PreparedSpmm2D:
             np.add.at(slab, (rr[in_core], pos_in_shard[cc[in_core]]),
                       p.vals[in_core].astype(np.float32))
             if core_dtype == "int8":
+                # cells not int8-representable are zeroed in the core and
+                # demoted to the exact ELL tail (ops/spmm.py does the same
+                # on the single-chip path)
                 r = np.round(slab)
-                if np.abs(r).max(initial=0.0) > 127 or not np.array_equal(
-                    r, slab
-                ):
-                    raise ValueError(
-                        "int8 hybrid core: core cells exceed the int8 "
-                        "integer range; use hybrid_dtype='bfloat16'"
+                bad = (np.abs(r) > 127) | (r != slab)
+                if bad.any():
+                    br, bc2 = np.nonzero(bad)
+                    bad_flat = br.astype(np.int64) * k_col_pad + bc2
+                    idx = np.flatnonzero(in_core)
+                    e_flat = (
+                        rr[idx].astype(np.int64) * k_col_pad
+                        + pos_in_shard[cc[idx]]
                     )
+                    demote = np.isin(e_flat, bad_flat)
+                    in_core[idx[demote]] = False
+                    r = np.where(bad, 0.0, r)
                 slab = r
             cores[s] = slab.astype(np_core)
             del slab

@@ -186,9 +186,12 @@ def plan_statistics(
         )
     elif plan.layout == "halo":
         if halo_stats is None:
-            halo_stats = memo.setdefault(
-                ("halo", sp), halo_statistics(csr, sp)
-            )
+            # explicit memo check — setdefault would EVALUATE the
+            # O(nnz log nnz) halo statistics on every call
+            halo_stats = memo.get(("halo", sp))
+            if halo_stats is None:
+                halo_stats = halo_statistics(csr, sp)
+                memo[("halo", sp)] = halo_stats
         rows = {
             "all_to_all": halo_stats["a2a_recv_rows"],
             "ring": halo_stats["ring_recv_rows"],
@@ -303,11 +306,22 @@ def autotune(
     """
     csr = graph if isinstance(graph, CsrGraph) else graph.to_csr()
     space = space if space is not None else DEFAULT_SPACE
+    # every candidate carries the tuned width: choose_ell_degree (and the
+    # hybrid/BCSR guards) read hidden_hint at PREPARE time, so leaving the
+    # dataclass default would make prepare pick a different plan than the
+    # one the cost model scored
+    points = [
+        {"hidden_hint": hidden, **p} for p in space
+    ]
     key = None
     if use_cache:
+        space_h = hashlib.sha256(
+            json.dumps(points, sort_keys=True).encode()
+        ).hexdigest()[:8]
         key = (
             _fingerprint(csr, hidden)
             + f"-{mode}-nd{n_devices}-{'.'.join(sorted(layouts))}"
+            + f"-sp{space_h}-db{dtype_bytes}"
             + (f"-hbm{hbm_budget_bytes}" if hbm_budget_bytes else "")
         )
         path = _CACHE_DIR / f"tune-{key}.json"
@@ -334,7 +348,7 @@ def autotune(
     for dist in dists:
         if dist.layout == "halo" and not square:
             continue
-        for point in space:
+        for point in points:
             cfg = SpmmConfig(**point)
             # the halo path aggregates with ELL tables regardless; the 2d
             # path implements ell + hybrid — skip meaningless combos

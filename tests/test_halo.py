@@ -104,6 +104,23 @@ def test_halo_ring_exchange_matches_dense(rng, order):
     )
 
 
+def test_halo_ring_single_device(rng):
+    """nd=1 node mesh: the ring has no peers — every edge is local and
+    the exchange degenerates gracefully (regression: empty-block
+    concatenate crashed at trace time)."""
+    import jax.numpy as jnp
+
+    coo = random_coo(rng, nrows=48, ncols=48, nnz=300)
+    x = rng.standard_normal((48, 8)).astype(np.float32)
+    prep = prepare_spmm_halo(
+        coo, make_node_mesh(1), SpmmConfig(n_blocks=1), exchange="ring"
+    )
+    np.testing.assert_allclose(
+        np.asarray(prep.mul(jnp.asarray(x))), _dense_ref(coo, x),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
 def test_halo_ring_buffer_smaller_on_clustered(rng):
     """On a block-diagonal-ish graph the ring's total recv buffer is no
     larger than the all_to_all's global-max-padded one."""

@@ -186,3 +186,16 @@ def test_checkpoint_orbax_and_npz(tmp_path, use_orbax):
 
     chex.assert_trees_all_close(params, model.params)
     chex.assert_trees_all_close(extra["opt_state"], opt_state)
+
+
+def test_checkpoint_rejects_structure_mismatch(tmp_path):
+    """A checkpoint restored into a structurally different template must
+    raise, even when leaf count and shapes coincide (same-shape square
+    weights would otherwise restore positionally into the wrong slots)."""
+    from pygim_tpu.nn.checkpoint import restore_checkpoint, save_checkpoint
+
+    params = {"a": {"w": jnp.ones((4, 4)), "b": jnp.zeros((4, 4))}}
+    save_checkpoint(tmp_path / "ck", params, step=1, use_orbax=False)
+    renamed = {"z": {"w": jnp.ones((4, 4)), "b": jnp.zeros((4, 4))}}
+    with pytest.raises(ValueError, match="structure"):
+        restore_checkpoint(tmp_path / "ck", renamed)

@@ -229,20 +229,39 @@ def test_hybrid_int8_core_exact(rng):
     )
 
 
-def test_hybrid_int8_core_range_guard(rng):
-    """Core cells outside the int8 range reject the int8 core instead of
-    silently wrapping."""
+def test_hybrid_int8_core_demotes_out_of_range_cells(rng):
+    """Core cells outside the int8 integer range (e.g. >127 merged
+    parallel edges between two hubs) are zeroed in the core and their
+    edges demoted to the exact ELL tail — never silently wrapped."""
     import dataclasses
 
     coo = random_coo(rng, nrows=60, ncols=60, nnz=400, dtype="int32")
+    # every cell lands at ±200 — all demote; result stays exact
     big = dataclasses.replace(
         coo, vals=np.full(coo.nnz, 200, dtype=np.int32)
     )
-    with pytest.raises(ValueError, match="int8"):
-        prepare_spmm(
-            big,
-            SpmmConfig(backend="hybrid", hybrid_k=32, hybrid_dtype="int8"),
-        )
+    prep = prepare_spmm(
+        big, SpmmConfig(backend="hybrid", hybrid_k=32, hybrid_dtype="int8")
+    )
+    assert int(np.abs(np.asarray(prep._dev["core"])).max()) == 0
+    x = rng.integers(-3, 4, size=(60, 8)).astype(np.int32)
+    np.testing.assert_allclose(
+        np.asarray(prep.mul(x)), _dense_ref(big, x), rtol=0, atol=0
+    )
+
+    # mixed case: only some cells exceed the range — exactness holds
+    # with a partially-populated core
+    v = coo.vals.astype(np.int32).copy()
+    v[: v.size // 2] = 150
+    mixed = dataclasses.replace(coo, vals=v)
+    prep2 = prepare_spmm(
+        mixed,
+        SpmmConfig(backend="hybrid", hybrid_k=32, hybrid_dtype="int8"),
+    )
+    ref = mixed.to_dense().astype(np.float64) @ x.astype(np.float64)
+    np.testing.assert_allclose(
+        np.asarray(prep2.mul(x)), ref, rtol=0, atol=0
+    )
 
 
 def test_hybrid_int8_core_fused_quant():
@@ -471,6 +490,36 @@ class TestFusedQuant:
         np.testing.assert_allclose(
             np.asarray(fused), np.asarray(unfused), rtol=1e-5, atol=1e-5
         )
+
+    def test_bcsr_wide_quant_computes_f32(self):
+        """int16/int32 payloads (|q| up to 2^19) exceed bf16's exact
+        integer range — the tile tier must compute in f32 to keep the
+        fused path exact vs the true integer aggregation."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(5)
+        n, deg = 512, 24
+        rows = np.repeat(np.arange(n), deg)
+        cols = (rows + rng.integers(0, 64, size=rows.size)) % n
+        from pygim_tpu.core.graph import CooGraph
+
+        coo = CooGraph(
+            rows=rows.astype(np.int32), cols=cols.astype(np.int32),
+            vals=np.ones(rows.size, dtype=np.int32), nrows=n, ncols=n,
+        )
+        cfg = SpmmConfig(
+            backend="hybrid", hybrid_k=0, bcsr_bytes=64 << 20,
+            bcsr_tile=8, bcsr_min_edges=4, hidden_hint=16,
+        )
+        prep = prepare_spmm(coo, cfg)
+        assert prep.has_bcsr
+        x = rng.standard_normal((n, 16)).astype(np.float32)
+        for dt, k in (("int16", 10), ("int32", 20)):
+            scale = np.abs(x).max() * 2.0 / 2.0 ** k
+            q = np.round(x / scale).astype(np.float64)
+            ref = (coo.to_dense().astype(np.float64) @ q) * scale
+            fused = np.asarray(prep.mul_quantized(jnp.asarray(x), dt))
+            np.testing.assert_allclose(fused, ref, rtol=1e-6, atol=1e-6)
 
     def test_layer_hook_uses_fused(self, rng):
         """quantized_aggregate routes through the fused hook when the

@@ -96,6 +96,32 @@ def test_autotune_int8_core_gating(rng, tmp_path, monkeypatch):
     assert "int8" not in dtypes(res_f)
 
 
+def test_autotune_cache_distinguishes_spaces(rng, tmp_path, monkeypatch):
+    """The disk-cache key covers the search space — a HYBRID_SPACE call
+    must not return a cached DEFAULT_SPACE result (whose winner need not
+    even be a member of the hybrid space)."""
+    monkeypatch.setenv("PYGIM_TPU_TUNE_CACHE", str(tmp_path))
+    import importlib
+
+    import pygim_tpu.tune.autotuner as at
+
+    importlib.reload(at)
+    coo = random_coo(rng, nrows=4000, ncols=4000, nnz=30000)
+    at.autotune(coo, hidden=32)  # default space, populates cache
+    res_h = at.autotune(coo, hidden=32, space=at.HYBRID_SPACE)
+    assert res_h.config.backend == "hybrid"
+    importlib.reload(at)
+
+
+def test_autotune_tuned_config_carries_hidden(rng, tmp_path, monkeypatch):
+    """The winning SpmmConfig records the tuned width in hidden_hint so
+    prepare-time degree choice matches what the cost model scored."""
+    monkeypatch.setenv("PYGIM_TPU_TUNE_CACHE", str(tmp_path))
+    coo = random_coo(rng, nrows=4000, ncols=4000, nnz=30000)
+    res = autotune(coo, hidden=96, use_cache=False)
+    assert res.config.hidden_hint == 96
+
+
 def test_autotune_cache_roundtrip(rng, tmp_path, monkeypatch):
     monkeypatch.setenv("PYGIM_TPU_TUNE_CACHE", str(tmp_path))
     # reload module-level cache dir
