@@ -215,6 +215,14 @@ def plan_statistics(
     return {
         "scatter_bytes": scatter_dev,
         "core_bytes": core_bytes,
+        # dense-core MXU work (2 flops per cell per local feature): the
+        # core turns COMPUTE-bound once flops/cell ≈ 2·h_local outruns
+        # bytes/cell · (mxu_rate/hbm_bw) — at H=256 an int8 core streams
+        # 1 B/cell but costs 512 flops, so predict_spmm_time takes the
+        # max of the stream and MXU terms
+        "core_flops": 2 * h_local * (core_bytes // max(1, (
+            {"bfloat16": 2, "int8": 1}.get(
+                config.hybrid_dtype, dtype_bytes)))),
         # dominant term: one dense row read per local nnz
         "gather_bytes": gather_bytes,
         # colind + vals streams and the output write
@@ -230,6 +238,20 @@ def plan_statistics(
         "rows_pad": plan_rb.rows_pad,
         "nnz_pad": plan_rb.nnz_pad,
     }
+
+
+def _integer_valued(csr: CsrGraph) -> bool:
+    """True when the edge values can ride an exact int8 hub-core:
+    integer dtypes always; float graphs when a sample of vals is
+    integer-valued (unweighted vals-all-one adjacencies — the cells,
+    sums of merged duplicates, are then small ints; the rare >127 cell
+    demotes to the ELL tail at prepare)."""
+    if np.issubdtype(csr.vals.dtype, np.integer):
+        return True
+    if not np.issubdtype(csr.vals.dtype, np.floating):
+        return False
+    sample = csr.vals[:: max(1, csr.vals.size // 4096)]
+    return bool(np.all(sample == np.round(sample)))
 
 
 def _fingerprint(csr: CsrGraph, hidden: int) -> str:
@@ -358,11 +380,13 @@ def autotune(
                 continue
             if cfg.backend == "hybrid" and not square:
                 continue
-            # the int8 core is exact-integer only (ops/spmm.py range
-            # guard); offer it solely for integer-valued graphs
-            if cfg.hybrid_dtype == "int8" and not np.issubdtype(
-                csr.vals.dtype, np.integer
-            ):
+            # the int8 core stores exact small integers (out-of-range
+            # cells demote to the ELL tail at prepare); offer it for
+            # integer dtypes AND integer-VALUED float graphs (unweighted
+            # adjacencies, vals all 1.0 — the common SpMM bench shape),
+            # where it packs √2× the hub rank per HBM byte while the
+            # float payload still computes in bf16
+            if cfg.hybrid_dtype == "int8" and not _integer_valued(csr):
                 continue
             stats = plan_statistics(
                 csr, hidden, cfg, plan=dist, dtype_bytes=dtype_bytes,

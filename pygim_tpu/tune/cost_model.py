@@ -33,6 +33,7 @@ _DEFAULTS = {
     "gather_eff": 0.30,     # random-row gather efficiency vs streaming
     "stream_eff": 0.80,     # sequential stream efficiency
     "fixed_us": 5.0,        # per-dispatch overhead
+    "mxu_bf16": 197e12,     # flops/s (v5e bf16 systolic peak)
 }
 
 _CACHE = Path(
@@ -50,6 +51,8 @@ class TpuCostModel:
     gather_eff: float
     stream_eff: float
     fixed_us: float
+    # default keeps pre-existing cached tpu_constants.json loadable
+    mxu_bf16: float = _DEFAULTS["mxu_bf16"]
 
     @classmethod
     def default(cls) -> "TpuCostModel":
@@ -83,8 +86,13 @@ def predict_spmm_time(stats: dict, model: Optional[TpuCostModel] = None) -> floa
     t = stats["gather_bytes"] / (m.hbm_bw * m.gather_eff)
     t += stats["stream_bytes"] / (m.hbm_bw * m.stream_eff)
     t += stats.get("scatter_bytes", 0) / (m.hbm_bw * m.stream_eff)
-    # hybrid dense core: streamed at full rate through the MXU
-    t += stats.get("core_bytes", 0) / (m.hbm_bw * m.stream_eff)
+    # hybrid dense core: HBM stream and MXU issue overlap — the core
+    # costs whichever roof binds (an int8 core at H=256 is compute-
+    # bound: 512 flops but only 1 streamed byte per cell)
+    t += max(
+        stats.get("core_bytes", 0) / (m.hbm_bw * m.stream_eff),
+        stats.get("core_flops", 0) / m.mxu_bf16,
+    )
     t += stats["psum_bytes"] / m.ici_bw
     t += stats["n_dispatch"] * m.fixed_us * 1e-6
     return t

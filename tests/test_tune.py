@@ -95,6 +95,16 @@ def test_autotune_int8_core_gating(rng, tmp_path, monkeypatch):
     res_f = autotune(coo_f, hidden=32, space=HYBRID_SPACE, use_cache=False)
     assert "int8" not in dtypes(res_f)
 
+    # unweighted float adjacency (vals all 1.0): cells are small integer
+    # counts, so the int8 core applies — √2× hub rank per HBM byte
+    import dataclasses
+
+    coo_ones = dataclasses.replace(
+        coo_f, vals=np.ones(coo_f.nnz, dtype=np.float32)
+    )
+    res_1 = autotune(coo_ones, hidden=32, space=HYBRID_SPACE, use_cache=False)
+    assert "int8" in dtypes(res_1)
+
 
 def test_autotune_cache_distinguishes_spaces(rng, tmp_path, monkeypatch):
     """The disk-cache key covers the search space — a HYBRID_SPACE call
