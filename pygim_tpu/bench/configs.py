@@ -36,12 +36,14 @@ BASELINE_EXPERIMENTS = [
     # no middle tier: the measured coverage curve (docs/PERF.md round-2)
     # shows 1 GiB of core streams in ~1.2 ms/mul but removes ≥5 ms of
     # issue-bound tail gather at EVERY k that fits HBM, and beats BCSR
-    # tiles ~3× in coverage per byte — so the whole budget goes to the
-    # core (k=92672 ⇒ 48.9% of edges dense vs 34.4% in the round-1
-    # bf16-core config)
+    # tiles ~3× in coverage per byte — so the core gets the biggest
+    # budget that coexists with products' device residency (2.45M-node
+    # hidden activations ≈ 2.5 GB/layer f32 + tail tables; a measured
+    # 8 GiB core OOM'd the 16 GB chip): 6 GiB ⇒ k=78336, ~44% of edges
+    # dense vs 34.4% in the round-1 bf16-core config
     Experiment(dataset="ogbn-products", kind="inference", model="gcn",
                dtype="int8", backend="hybrid", hybrid_dtype="int8",
-               hybrid_core_bytes=8 << 30, validate=True),
+               hybrid_core_bytes=6 << 30, validate=True),
     # (5) ogbn-papers100M GCN edge-partitioned multi-host with ICI halo
     # exchange — rehearsal scale: an R-MAT with papers100M's density
     # (~14.5 edges/node) sized so one shard fits the virtual-mesh hosts;

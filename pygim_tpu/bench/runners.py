@@ -102,8 +102,18 @@ def run_spmm_benchmark(
 
     if verify:
         cfg = getattr(prep, "config", None)
-        loose = cfg is not None and cfg.backend == "hybrid" \
-            and cfg.hybrid_dtype == "bfloat16"
+        # a reduced-precision core computes float payloads in bf16 —
+        # true for a bfloat16 core AND an int8 core fed floats (the s8
+        # cells are exact, but the payload is cast to bf16 for the MXU);
+        # int payloads through an int8 core stay exact-integer
+        loose = (
+            cfg is not None and cfg.backend == "hybrid"
+            and (
+                cfg.hybrid_dtype == "bfloat16"
+                or (cfg.hybrid_dtype == "int8"
+                    and jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating))
+            )
+        )
         ok = _verify_against_oracle(
             graph, prep, x, rng, rtol=1e-2 if loose else 1e-4
         )

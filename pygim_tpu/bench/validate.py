@@ -125,6 +125,42 @@ class _RecordingAggregate:
         return out
 
 
+class _CaptureAggregate:
+    """Trace-time capture: wraps a jit-traceable aggregate and records,
+    per call, ONLY the sampled output rows, the sampled neighbor input
+    rows, and the input abs-max — all as traced values, so the entire
+    validation forward compiles to ONE program whose extra device memory
+    is the tiny gathers. This is what makes per-layer validation
+    affordable at ogbn-products scale on a 16 GB chip (the eager
+    interception variant materialized full (N, H) activations on top of
+    the prepared tables and OOM'd)."""
+
+    def __init__(self, base, rows_idx, nbr_idx):
+        self._base, self._rows, self._nbr = base, rows_idx, nbr_idx
+        self.capture: list = []   # traced (out_rows, in_nbrs, in_absmax)
+        self.qnames: list = []    # host-side quant markers, call order
+
+    def _rec(self, v, out, qname) -> None:
+        import jax.numpy as jnp
+
+        self.capture.append(
+            (out[self._rows], v[self._nbr], jnp.max(jnp.abs(v)))
+        )
+        self.qnames.append(qname)
+
+    def __call__(self, v):
+        out = self._base(v)
+        self._rec(v, out, None)
+        return out
+
+    def quantized(self, v, agg_dtype: str):
+        fused = getattr(self._base, "quantized", None)
+        out = None if fused is None else fused(v, agg_dtype)
+        if out is not None:
+            self._rec(v, out, agg_dtype)
+        return out
+
+
 def validate_inference_sampled(
     graph,
     model: GNN,
@@ -138,51 +174,86 @@ def validate_inference_sampled(
     reporter: Optional[DataReporter] = None,
 ) -> bool:
     """Per-layer aggregate validation at 100M-edge scale: run the real
-    forward once, intercept every (input, output) pair of the aggregate,
-    and recompute sampled output rows from the host CSR (the reference's
+    forward once under ONE jit with a capturing aggregate, then recompute
+    the sampled output rows from the host CSR (the reference's
     commented-out per-rank block check, spmm_mul_csr.c:414-477, done for
-    real). Affordable on any graph — cost is rows_to_check·deg·H per
-    layer on host. Fused-quantized aggregates (int8/16/32) are checked
-    against a host replica of the same quantization (scale/round per
-    quant/__init__.py), so the check stays near-bit-exact."""
+    real). Device cost is the timed forward + three tiny gathers per
+    aggregate call; host cost is rows_to_check·deg·H per layer.
+    Fused-quantized aggregates (int8/16/32) are checked against a host
+    replica of the same quantization (scale/round per quant/__init__.py),
+    so the check stays near-bit-exact. ``aggregate`` is a
+    :class:`JittedAggregate` (or anything exposing ``.prep`` with the
+    dev_arrays/raw_mul threading contract)."""
+    import jax.numpy as jnp
+
+    from pygim_tpu.ops.spmm import PreparedAggregate
     from pygim_tpu.quant import _SCALE_EXP
 
     rep = reporter or DataReporter(echo=False)
     csr = graph.to_csr() if not hasattr(graph, "rowptr") else graph
-    rec = _RecordingAggregate(aggregate)
-    layer_activations(model, x, rec)
+    prep = getattr(aggregate, "prep", aggregate)
     rng = np.random.default_rng(seed)
-    rows = rng.choice(
-        csr.nrows, min(rows_to_check, csr.nrows), replace=False
+    rows = np.sort(
+        rng.choice(csr.nrows, min(rows_to_check, csr.nrows), replace=False)
     )
+    # host gather plan: concatenated neighbor segments of the sampled rows
+    segs = [(int(csr.rowptr[r]), int(csr.rowptr[r + 1])) for r in rows]
+    lens = np.array([e1 - e0 for e0, e1 in segs], dtype=np.int64)
+    off = np.concatenate([[0], np.cumsum(lens)])
+    nbr = (
+        np.concatenate([csr.colind[e0:e1] for e0, e1 in segs])
+        if off[-1] else np.zeros(0, dtype=csr.colind.dtype)
+    )
+    ew = (
+        np.concatenate([csr.vals[e0:e1] for e0, e1 in segs])
+        if off[-1] else np.zeros(0, dtype=csr.vals.dtype)
+    )
+    nbr_idx = jnp.asarray(nbr if nbr.size else np.zeros(1, dtype=np.int32))
+    rows_idx = jnp.asarray(rows)
+
+    dev = prep.dev_arrays
+    qnames: list = []
+
+    def run(x, dev, rows_idx, nbr_idx):
+        cap = _CaptureAggregate(
+            PreparedAggregate(prep, dev), rows_idx, nbr_idx
+        )
+        logits = model.apply(x, cap)
+        qnames.clear()          # runs at trace time only
+        qnames.extend(cap.qnames)
+        return logits, cap.capture
+
+    _, capture = jax.jit(run)(x, dev, rows_idx, nbr_idx)
+
     ok = True
-    for li, (vin, vout, qname) in enumerate(rec.records):
+    for li, ((out_rows, in_nbrs, in_absmax), qname) in enumerate(
+        zip(capture, qnames)
+    ):
+        g_out = np.asarray(out_rows)
+        g_in = np.asarray(in_nbrs)
         if qname is not None:
             # replicate the fused path's symmetric quantization on host:
-            # scale from the full input, round(v/scale), integer sum,
-            # ·scale — near-bit-exact vs the device program
+            # scale from the full input's abs-max (device-reduced),
+            # round(v/scale), integer sum, ·scale — near-bit-exact vs the
+            # device program (f32 arithmetic start to finish)
             k = _SCALE_EXP[qname]
-            # f32 arithmetic start-to-finish: bit-identical to the device
-            # scale (abs_max·2 exact, ÷2^k exact)
             q_scale = (
-                np.float32(np.max(np.abs(vin)))
+                np.float32(in_absmax)
                 * np.float32(2.0) / np.float32(2.0 ** k)
             )
             q_scale = q_scale if q_scale != 0 else np.float32(1.0)
         max_err = 0.0
-        for r in rows:
-            e0, e1 = int(csr.rowptr[r]), int(csr.rowptr[r + 1])
-            vrows = vin[csr.colind[e0:e1]].astype(np.float64)
+        for i in range(rows.size):
+            s0, s1 = int(off[i]), int(off[i + 1])
+            vrows = g_in[s0:s1].astype(np.float64)
             if qname is not None:
                 vrows = np.round(
                     vrows.astype(np.float32) / q_scale
                 ).astype(np.float64)
-            ref = (vrows * csr.vals[e0:e1, None].astype(np.float64)).sum(
-                axis=0
-            )
+            ref = (vrows * ew[s0:s1, None].astype(np.float64)).sum(axis=0)
             if qname is not None:
                 ref = ref * np.float64(q_scale)
-            err = float(np.max(np.abs(vout[r].astype(np.float64) - ref)))
+            err = float(np.max(np.abs(g_out[i].astype(np.float64) - ref)))
             scale = max(1.0, float(np.max(np.abs(ref))))
             max_err = max(max_err, err / scale)
             if err > atol + rtol * scale:
