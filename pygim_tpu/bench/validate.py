@@ -211,19 +211,46 @@ def validate_inference_sampled(
     nbr_idx = jnp.asarray(nbr if nbr.size else np.zeros(1, dtype=np.int32))
     rows_idx = jnp.asarray(rows)
 
-    dev = prep.dev_arrays
-    qnames: list = []
+    import functools
 
-    def run(x, dev, rows_idx, nbr_idx):
+    dev = prep.dev_arrays
+    p = model.params
+    conv_apply = _CONV_APPLY[model.conv]
+    trace_qnames: list = []
+
+    # One jitted program PER LAYER STAGE (same shapes → one compile,
+    # reused across layers), with the incoming activation DONATED. A
+    # single whole-forward capture program holds every layer's (N, H)
+    # intermediates live simultaneously — measured 11.7 GB of HLO temp
+    # on ogbn-products next to the 7.5 GB of prepared tables, a compile
+    # -time OOM on a 16 GB chip. Per-layer programs contain one
+    # aggregate + its capture; donation lets XLA reuse h's buffer.
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def layer_step(pc, pb, h, dev, rows_idx, nbr_idx):
         cap = _CaptureAggregate(
             PreparedAggregate(prep, dev), rows_idx, nbr_idx
         )
-        logits = model.apply(x, cap)
-        qnames.clear()          # runs at trace time only
-        qnames.extend(cap.qnames)
-        return logits, cap.capture
+        h2 = conv_apply(pc, h, cap, agg_dtype=model.agg_dtype)
+        h2 = jax.nn.relu(L.batchnorm_apply(pb, h2))
+        trace_qnames.clear()    # runs at trace time only
+        trace_qnames.extend(cap.qnames)
+        return h2, cap.capture
 
-    _, capture = jax.jit(run)(x, dev, rows_idx, nbr_idx)
+    pre = jax.jit(
+        lambda p, x: jax.nn.relu(
+            L.batchnorm_apply(p["bn0"], L.linear_apply(p["ln1"], x))
+        )
+    )
+    h = pre(p, x)
+    capture: list = []
+    qnames: list = []
+    for i in range(model.num_layers):
+        h, caps = layer_step(
+            p["convs"][i], p["bns"][i], h, dev, rows_idx, nbr_idx
+        )
+        capture.extend(caps)
+        qnames.extend(trace_qnames)
+    del h
 
     ok = True
     for li, ((out_rows, in_nbrs, in_absmax), qname) in enumerate(
