@@ -903,11 +903,15 @@ class PreparedSpmm:
         ``symmetric_dequantize(raw_mul(symmetric_quantize(x)[1]), 1, s)``
         (identical round(x/scale) and integer accumulation; the float
         output matches to f32 summation-order ulp across the two XLA
-        programs) — without materializing the (N, H) quantized copy of x or a
-        separate dequantize pass: the rounding runs on each gathered
-        block in registers (VPU work fused into the gather stream; the
-        gather itself is issue-bound, so reading f32 rows instead of
-        int8 costs nothing — docs/PERF.md). ``x`` is float; returns the
+        programs). For quantized dtypes NARROWER than x (int8/int16) the
+        rounded values are materialized ONCE as an (N, H) integer table
+        and every tier gathers from it: the tail's issue-bound gather
+        then moves 256 B rows instead of 1 KB — measured 169 ms/multiply
+        faster on ogbn-products (E7, docs/PERF.md) — and the arithmetic
+        is unchanged (round once + gather ≡ gather + round; same f32
+        accumulation order). Same-width dtypes (int32/int64) keep the
+        round fused into the gather consumer: their table would be the
+        same byte size as x and buy nothing. ``x`` is float; returns the
         dequantized float product."""
         from pygim_tpu.quant import _SCALE_EXP
 
@@ -924,17 +928,32 @@ class PreparedSpmm:
         safe = jnp.where(scale == 0, jnp.ones_like(scale), scale)
         qdt = q_dtype or x.dtype
         chunk, degree = self.row_chunk, self.ell_degree
-        out = ell_scan_spmm_quant(
-            x, safe, qdt, dev["cols2d"], dev["vals2d"], dev["vrow_to_row"],
-            chunk, degree, self.nrows,
+        use_table = (
+            q_dtype is not None
+            and jnp.dtype(qdt).itemsize < jnp.dtype(x.dtype).itemsize
         )
+        if use_table:
+            xq = jnp.round(x / safe).astype(qdt)
+            out = ell_scan_spmm(
+                xq, dev["cols2d"], dev["vals2d"], dev["vrow_to_row"],
+                chunk, degree, self.nrows,
+            )
+        else:
+            out = ell_scan_spmm_quant(
+                x, safe, qdt, dev["cols2d"], dev["vals2d"],
+                dev["vrow_to_row"], chunk, degree, self.nrows,
+            )
         if self.config.backend == "hybrid":
             acc = accum_dtype(jnp.result_type(jnp.float32, jnp.dtype(qdt)))
             if self.hybrid_k_eff > 0:
                 core, core_nodes = dev["core"], dev["core_nodes"]
-                xc = jnp.round(
-                    jnp.take(x, core_nodes, axis=0) / safe
-                ).astype(qdt)
+                xc = (
+                    jnp.take(xq, core_nodes, axis=0)
+                    if use_table
+                    else jnp.round(
+                        jnp.take(x, core_nodes, axis=0) / safe
+                    ).astype(qdt)
+                )
                 core_out = _core_matmul(core, xc, acc)
                 out = out.at[core_nodes].add(core_out.astype(out.dtype))
             if getattr(self, "has_bcsr", False):
@@ -943,19 +962,23 @@ class PreparedSpmm:
                 # tier in f32 (exact: f32 carries 24 mantissa bits)
                 wide = q_dtype in ("int16", "int32", "int64")
                 cd = jnp.float32 if wide else None
+                # with the table, panels gather pre-rounded integers
+                # (cast to the compute dtype inside — exact)
+                bx = xq if use_table else x
+                bscale = None if use_table else safe
                 if self.bcsr_kind == "panel":
                     out = bcsr_panel_scan_spmm(
-                        x, dev["panel_nodes"], dev["tiles"],
+                        bx, dev["panel_nodes"], dev["tiles"],
                         dev["panel_idx"], dev["tile_rb"],
                         dev["row_nodes"], out, self.bcsr_step,
-                        q_scale=safe, compute_dtype=cd,
+                        q_scale=bscale, compute_dtype=cd,
                     )
                 else:
                     out = bcsr_scan_spmm(
-                        x, dev["panel_nodes"], dev["tiles"],
+                        bx, dev["panel_nodes"], dev["tiles"],
                         dev["panel_idx"], dev["vblock_to_rb"],
                         dev["row_nodes"], out, self.bcsr_step,
-                        q_scale=safe, compute_dtype=cd,
+                        q_scale=bscale, compute_dtype=cd,
                     )
         # dequantize (scale_edge = 1.0 as in the reference conv layers);
         # scale==0 ⇒ all-zero input ⇒ out·0 = the correct zeros
