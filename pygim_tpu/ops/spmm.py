@@ -76,8 +76,10 @@ class SpmmConfig:
     hybrid_dtype: Optional[str] = None     # core dtype (None = vals dtype;
                                            # 'bfloat16' halves core traffic;
                                            # 'int8' halves it again for
-                                           # integer-valued graphs — k
-                                           # grows √2 per halving)
+                                           # integer-valued graphs; 'int4'
+                                           # (nibble-packed, cells in ±7)
+                                           # once more — k grows √2 per
+                                           # halving)
     # hybrid BCSR middle tier: dense (bcsr_tile, 128) tiles in rank space
     # between the core and the ELL tail (core/bcsr.py). 0 bytes = off.
     bcsr_bytes: int = 0                    # tile-store budget
@@ -255,13 +257,44 @@ def ell_scan_spmm(x, cols2d, vals2d, vrow_to_row, chunk, degree, nrows,
     )
 
 
+def _nibble_halves(packed, cdt):
+    """Sign-extended (lo, hi) nibble planes of a packed (k, k/2) uint8
+    int4 core, as ``cdt``. Pure elementwise — XLA fuses both transforms
+    into the dot operand reads (measured temp-free at k=32768, E8)."""
+    lo = (packed & 0xF).astype(jnp.int8)
+    lo = lo - jnp.where(lo > 7, jnp.int8(16), jnp.int8(0))
+    hi = (packed >> 4).astype(jnp.int8)
+    hi = hi - jnp.where(hi > 7, jnp.int8(16), jnp.int8(0))
+    return lo.astype(cdt), hi.astype(cdt)
+
+
 def _core_matmul(core, xq, acc):
     """Dense hub-core product with dtype-aware MXU routing. An int8 core
     multiplies int8 payloads on the MXU's double-rate s8 path with exact
     int32 accumulation; wider integer payloads (int16/int32 quantization,
     |q| up to 2^19 — not int8-representable) promote both operands to
     int32; float payloads ride bf16 (core cells are integers ≤127, exact
-    in bf16's 8-bit mantissa). Non-int8 cores keep their native dtype."""
+    in bf16's 8-bit mantissa). Non-int8 cores keep their native dtype.
+
+    A uint8 core is the nibble-packed int4 tier (0.5 B/cell in HBM —
+    k grows √2 over int8 at the same budget): byte j of a row holds
+    cells (2j, 2j+1), so dot(A, x) = dot(A_even, x[0::2]) +
+    dot(A_odd, x[1::2]) with the two nibble planes unpacked inline
+    (fused into the dot reads; the MXU pays ~1.23× per cell vs s8 but
+    the HBM residency — the binding constraint — halves; E8 study)."""
+    if core.dtype == jnp.uint8:
+        if xq.dtype == jnp.int8:
+            cdt, pet = jnp.int8, jnp.int32
+        elif jnp.issubdtype(xq.dtype, jnp.integer):
+            cdt = pet = jnp.int32
+            xq = xq.astype(jnp.int32)
+        else:
+            cdt, pet = jnp.bfloat16, acc
+            xq = xq.astype(jnp.bfloat16)
+        lo, hi = _nibble_halves(core, cdt)
+        return jnp.dot(
+            lo, xq[0::2], preferred_element_type=pet
+        ) + jnp.dot(hi, xq[1::2], preferred_element_type=pet)
     if core.dtype == jnp.int8:
         if xq.dtype == jnp.int8:
             return jnp.dot(core, xq, preferred_element_type=jnp.int32)
@@ -484,12 +517,17 @@ class PreparedSpmm:
                 # both; the tail stays exact-integer through the ell path.
                 # An int8 core halves bytes/cell (k grows √2 at the same
                 # HBM budget) and rides the MXU's double-rate s8 path;
-                # cells outside the int8 integer range are demoted to the
-                # exact ELL tail at prepare.
-                if config.hybrid_dtype not in (None, "bfloat16", "int8"):
+                # an int4 core halves again (nibble-packed uint8 storage,
+                # unpacked inline into the dot — measured temp-free
+                # fusion, E8 in docs/PERF.md). Cells outside the target
+                # integer range are demoted to the exact ELL tail at
+                # prepare.
+                if config.hybrid_dtype not in (
+                    None, "bfloat16", "int8", "int4"
+                ):
                     raise ValueError(
-                        "integer hybrid aggregation requires a bfloat16 "
-                        "or int8 core"
+                        "integer hybrid aggregation requires a bfloat16, "
+                        "int8 or int4 core"
                     )
                 if config.hybrid_dtype is None:
                     config = dataclasses.replace(
@@ -625,7 +663,12 @@ class PreparedSpmm:
         pt.stop("rank")
 
         core_dtype = config.hybrid_dtype or str(coo.vals.dtype)
-        itemsize = 2 if core_dtype == "bfloat16" else np.dtype(core_dtype).itemsize
+        if core_dtype == "bfloat16":
+            itemsize = 2.0
+        elif core_dtype == "int4":
+            itemsize = 0.5  # nibble-packed: two cells per stored byte
+        else:
+            itemsize = float(np.dtype(core_dtype).itemsize)
         if config.hybrid_k is not None:
             k = max(0, min(config.hybrid_k, n))
         elif config.hybrid_core_bytes <= 0:
@@ -634,6 +677,8 @@ class PreparedSpmm:
             k = int(np.sqrt(config.hybrid_core_bytes / itemsize))
             k = (k // 256) * 256
             k = min(max(k, min(256, n)), n)
+        if core_dtype == "int4":
+            k -= k % 2  # nibble packing pairs columns per byte
         self.hybrid_k_eff = k
 
         from pygim_tpu.core import native
@@ -660,21 +705,24 @@ class PreparedSpmm:
                 ).reshape(k, k).astype(np.float32)
             if core_dtype == "bfloat16":
                 dense = native.f32_to_bf16_bits(dense).reshape(k, k)
-            elif core_dtype == "int8":
+            elif core_dtype in ("int8", "int4"):
                 # exact-integer core: a cell (sum of merged duplicate
                 # edge values) rides the core only if it is an
-                # int8-representable integer; the rare offenders (e.g.
+                # integer representable in the core dtype (|c| ≤ 127
+                # for int8, ≤ 7 for int4); the rare offenders (e.g.
                 # >127 parallel edges between two hubs in an R-MAT sim)
                 # are zeroed in the core and DEMOTED to the exact ELL
                 # tail — correctness never depends on the core dtype.
                 # Row-chunked conversion: the f32 core is tens of GB at
                 # production k, so whole-array temps would double host RAM.
+                hi_lim, lo_lim = (127, -128) if core_dtype == "int8" \
+                    else (7, -8)
                 out8 = np.empty((k, k), dtype=np.int8)
                 bad_r, bad_c = [], []
                 for lo in range(0, k, 4096):
                     blk = dense[lo : lo + 4096]
                     rb = np.round(blk)
-                    bad = (np.abs(rb) > 127) | (rb != blk)
+                    bad = (rb > hi_lim) | (rb < lo_lim) | (rb != blk)
                     if bad.any():
                         br, bc = np.nonzero(bad)
                         bad_r.append(br.astype(np.int64) + lo)
@@ -697,10 +745,21 @@ class PreparedSpmm:
                     import logging
 
                     logging.getLogger("pygim_tpu").info(
-                        "int8 core: %d cells (%d edges) not int8-"
-                        "representable — demoted to the ELL tail",
-                        bad_flat.size, int(demote.sum()),
+                        "%s core: %d cells (%d edges) not representable"
+                        " — demoted to the ELL tail",
+                        core_dtype, bad_flat.size, int(demote.sum()),
                     )
+                if core_dtype == "int4":
+                    # nibble-pack: byte j holds cells (2j, 2j+1) of the
+                    # row — low nibble = even column, high = odd. Packed
+                    # row-chunked for the same host-RAM reason as above.
+                    packed = np.empty((k, k // 2), dtype=np.uint8)
+                    for lo in range(0, k, 4096):
+                        blk = dense[lo : lo + 4096]
+                        lo4 = blk[:, 0::2].astype(np.uint8) & 0xF
+                        hi4 = blk[:, 1::2].astype(np.uint8) & 0xF
+                        packed[lo : lo + 4096] = lo4 | (hi4 << 4)
+                    dense = packed
         pt.stop("core_fill")
 
         host: dict = {"k": np.int64(k), "core_dtype": np.str_(core_dtype)}

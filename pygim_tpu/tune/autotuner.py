@@ -64,8 +64,9 @@ DEFAULT_SPACE = (
 HYBRID_SPACE = (
     For("backend", ["hybrid"])
     * For("hybrid_core_bytes", [1 << 30, 4 << 30, 8 << 30, 12 << 30])
-    # int8 candidates are pruned in autotune() for non-integer graphs
-    * For("hybrid_dtype", [None, "bfloat16", "int8"])
+    # int8/int4 candidates are pruned in autotune() for non-integer
+    # graphs (int4 = nibble-packed, cells in [-8, 7], 0.5 B/cell)
+    * For("hybrid_dtype", [None, "bfloat16", "int8", "int4"])
     * For("balance", ["nnz"])
 )
 
@@ -120,7 +121,7 @@ def plan_statistics(
             # hub-core coverage estimate: degree-ranked top-k × top-k;
             # a 2d plan column-shards the core, so the same per-device
             # budget buys a √sp-larger core (parallel/spmm_2d.py:142)
-            itemsize = {"bfloat16": 2, "int8": 1}.get(
+            itemsize = {"bfloat16": 2, "int8": 1, "int4": 0.5}.get(
                 config.hybrid_dtype, dtype_bytes
             )
             budget_eff = config.hybrid_core_bytes * max(1, sp)
@@ -141,7 +142,7 @@ def plan_statistics(
             rank, rows_of = memo["rank"], memo["rows_of"]
             in_core = (rank[rows_of] < k) & (rank[csr.colind] < k)
             tail_nnz = int((~in_core).sum())
-            core_bytes = k * k * itemsize // max(1, sp)  # per device
+            core_bytes = int(k * k * itemsize) // max(1, sp)  # per device
             tail_deg = memo.get(("tail_deg", k))
             if tail_deg is None:
                 tail_deg = np.bincount(
@@ -220,9 +221,14 @@ def plan_statistics(
         # bytes/cell · (mxu_rate/hbm_bw) — at H=256 an int8 core streams
         # 1 B/cell but costs 512 flops, so predict_spmm_time takes the
         # max of the stream and MXU terms
-        "core_flops": 2 * h_local * (core_bytes // max(1, (
-            {"bfloat16": 2, "int8": 1}.get(
-                config.hybrid_dtype, dtype_bytes)))),
+        # (cells = core_bytes/itemsize; the packed-int4 unpack throttles
+        # the MXU pipe ~1.25× per cell — measured E8, docs/PERF.md)
+        "core_flops": int(
+            2 * h_local
+            * (core_bytes / {"bfloat16": 2, "int8": 1, "int4": 0.5}.get(
+                config.hybrid_dtype, dtype_bytes))
+            * (1.25 if config.hybrid_dtype == "int4" else 1.0)
+        ),
         # dominant term: one dense row read per local nnz
         "gather_bytes": gather_bytes,
         # colind + vals streams and the output write
@@ -386,7 +392,8 @@ def autotune(
             # adjacencies, vals all 1.0 — the common SpMM bench shape),
             # where it packs √2× the hub rank per HBM byte while the
             # float payload still computes in bf16
-            if cfg.hybrid_dtype == "int8" and not _integer_valued(csr):
+            if cfg.hybrid_dtype in ("int8", "int4") \
+                    and not _integer_valued(csr):
                 continue
             stats = plan_statistics(
                 csr, hidden, cfg, plan=dist, dtype_bytes=dtype_bytes,

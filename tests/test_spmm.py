@@ -288,6 +288,79 @@ def test_hybrid_int8_core_fused_quant():
         )
 
 
+def test_hybrid_int4_core_exact(rng):
+    """Nibble-packed int4 hub-core (0.5 B/cell in HBM — k grows √2 over
+    int8 at the same budget): exact for cells in [-8, 7]; the packed
+    uint8 planes unpack inline into the even/odd dot pair (E8 study)."""
+    import jax.numpy as jnp
+
+    coo = random_coo(rng, nrows=100, ncols=100, nnz=1200, dtype="int8")
+    hyb = prepare_spmm(
+        coo, SpmmConfig(backend="hybrid", hybrid_k=32, hybrid_dtype="int4")
+    )
+    assert hyb._dev["core"].dtype == jnp.uint8
+    assert hyb._dev["core"].shape == (32, 16)
+
+    x = rng.integers(-8, 9, size=(100, 16)).astype(np.int8)
+    np.testing.assert_allclose(
+        np.asarray(hyb.mul(x)), _dense_ref(coo, x), rtol=0, atol=0
+    )
+
+    # wider integer payloads promote to int32 (exact)
+    x32 = rng.integers(-500, 501, size=(100, 16)).astype(np.int32)
+    np.testing.assert_allclose(
+        np.asarray(hyb.mul(x32)), _dense_ref(coo, x32), rtol=0, atol=0
+    )
+
+    # float payloads ride bf16
+    xf = rng.standard_normal((100, 16)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(hyb.mul(xf)), _dense_ref(coo, xf), rtol=3e-2, atol=3e-1
+    )
+
+
+def test_hybrid_int4_core_demotes_out_of_range_cells(rng):
+    """Cells outside [-8, 7] (merged duplicate edges or wide values)
+    demote to the exact ELL tail; -8 itself is representable."""
+    import dataclasses
+
+    coo = random_coo(rng, nrows=60, ncols=60, nnz=400, dtype="int32")
+    v = coo.vals.astype(np.int32).copy()
+    v[: v.size // 3] = 100    # demoted
+    v[v.size // 3:] = -8      # kept (int4 min)
+    mixed = dataclasses.replace(coo, vals=v)
+    prep = prepare_spmm(
+        mixed,
+        SpmmConfig(backend="hybrid", hybrid_k=32, hybrid_dtype="int4"),
+    )
+    x = rng.integers(-3, 4, size=(60, 8)).astype(np.int32)
+    ref = mixed.to_dense().astype(np.float64) @ x.astype(np.float64)
+    np.testing.assert_allclose(
+        np.asarray(prep.mul(x)), ref, rtol=0, atol=0
+    )
+
+
+def test_hybrid_int4_core_fused_quant():
+    """Fused quantize→aggregate→dequantize through the packed int4 core
+    matches the unfused round-trip."""
+    rng = np.random.default_rng(99)
+    import jax.numpy as jnp
+
+    from pygim_tpu.quant import symmetric_dequantize, symmetric_quantize
+
+    coo = random_coo(rng, nrows=300, ncols=300, nnz=4000, dtype="int8")
+    cfg = SpmmConfig(backend="hybrid", hybrid_k=64, hybrid_dtype="int4")
+    prep = prepare_spmm(coo, cfg)
+    x = jnp.asarray(rng.standard_normal((300, 16)), dtype=jnp.float32)
+    for dtype in ("int8", "int16"):
+        scale, x_q = symmetric_quantize(x, dtype)
+        unfused = symmetric_dequantize(prep.mul(x_q), 1.0, scale)
+        fused = prep.mul_quantized(x, dtype)
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(unfused), rtol=1e-5, atol=1e-5
+        )
+
+
 def test_hybrid_prepare_cache(rng, tmp_path, monkeypatch):
     monkeypatch.setenv("PYGIM_TPU_DATA", str(tmp_path))
     coo = random_coo(rng, nrows=150, ncols=150, nnz=2000)
