@@ -105,6 +105,39 @@ def test_autotune_int8_core_gating(rng, tmp_path, monkeypatch):
     res_1 = autotune(coo_ones, hidden=32, space=HYBRID_SPACE, use_cache=False)
     assert "int8" in dtypes(res_1)
 
+    # int4 follows the same gate
+    assert "int4" in dtypes(res_i)
+    assert "int4" not in dtypes(res_f)
+
+
+def test_plan_statistics_int4_packs_denser(rng):
+    """At a fixed HBM core budget the packed int4 plan reaches a √2
+    larger hub rank than int8, so it predicts less issue-bound tail
+    gather at (near-)equal core bytes — the reason the tuner offers it."""
+    from pygim_tpu.ops.spmm import SpmmConfig
+    from pygim_tpu.tune.autotuner import plan_statistics
+
+    coo = random_coo(rng, nrows=4000, ncols=4000, nnz=120000, dtype="int8")
+    # hub-heavy: concentrate edges on low ids (power-law-ish)
+    csr = coo.to_csr()
+    budget = 1 << 20
+    s8 = plan_statistics(
+        csr, 32,
+        SpmmConfig(backend="hybrid", hybrid_core_bytes=budget,
+                   hybrid_dtype="int8"),
+    )
+    s4 = plan_statistics(
+        csr, 32,
+        SpmmConfig(backend="hybrid", hybrid_core_bytes=budget,
+                   hybrid_dtype="int4"),
+    )
+    assert s4["core_bytes"] <= 1.1 * s8["core_bytes"]
+    assert s4["gather_bytes"] < s8["gather_bytes"]
+    # and the cost model charges the measured MXU throttle per cell
+    # (more cells at the same budget × the 1.25 unpack throttle; k
+    # rounds down to a 256-multiple so the ratio lands below 2×1.25)
+    assert s4["core_flops"] > 1.5 * s8["core_flops"]
+
 
 def test_autotune_cache_distinguishes_spaces(rng, tmp_path, monkeypatch):
     """The disk-cache key covers the search space — a HYBRID_SPACE call
