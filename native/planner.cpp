@@ -14,6 +14,7 @@
 // preallocated by the caller (NumPy), sizes passed explicitly.
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -192,6 +193,69 @@ int core_tail_mask(const int32_t* rows, const int32_t* cols, int64_t nnz,
   for (int64_t i = 0; i < nnz; ++i) {
     tail_mask[i] =
         (rank[rows[i]] >= k || rank[cols[i]] >= k) ? 1 : 0;
+  }
+  return 0;
+}
+
+// ---- banded core build ----------------------------------------------------
+// Materializing the full (k, k) float32 core before converting it to the
+// stored dtype costs ~4·k² bytes of fresh pages (51 GB at k=113k) plus a
+// second full conversion pass in NumPy — measured 870 s of the products
+// int4 prepare. The banded path fills a REUSED f32 row band from the
+// rank-space CSR, then converts/packs it in one C pass directly into the
+// final array, so only the output (0.5–2 B/cell) is ever materialized.
+
+// Zero + fill rows [r0, r1) of the rank-space CSR into a caller-provided
+// f32 band of shape (r1-r0, k).
+int csr_band_fill_f32(const int32_t* rowptr, const int32_t* colind,
+                      const float* vals, int32_t r0, int32_t r1, int32_t k,
+                      float* band) {
+  std::memset(band, 0, sizeof(float) * static_cast<size_t>(r1 - r0) * k);
+  for (int32_t r = r0; r < r1; ++r) {
+    float* row = band + static_cast<int64_t>(r - r0) * k;
+    for (int64_t e = rowptr[r]; e < rowptr[r + 1]; ++e) {
+      row[colind[e]] += vals[e];
+    }
+  }
+  return 0;
+}
+
+// Convert an f32 band (n cells) to int8 with the exact-integer range
+// check: a cell rides the core only if it equals an integer in
+// [lo, hi]; offenders are zeroed and their band-relative flat indices
+// appended to bad (capacity cap). Returns the TOTAL bad count (which may
+// exceed cap — caller rescans the band on overflow).
+int64_t band_f32_to_int8(const float* band, int64_t n, float hi, float lo,
+                         int8_t* out, int64_t* bad, int64_t cap) {
+  int64_t nb = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    float v = band[i];
+    // range first (the cast below would be UB out of int8 range), then
+    // integrality; NaN fails all three tests and lands in bad.
+    if (!(v >= lo) || !(v <= hi) || std::nearbyint(v) != v) {
+      if (nb < cap) bad[nb] = i;
+      ++nb;
+      out[i] = 0;
+    } else {
+      out[i] = static_cast<int8_t>(v);
+    }
+  }
+  return nb;
+}
+
+// Nibble-pack an int8 band of shape (rows, k): byte j of a packed row
+// holds cells (2j, 2j+1) — low nibble = even column, high = odd.
+int band_int8_pack_nibbles(const int8_t* band, int64_t rows, int32_t k,
+                           uint8_t* out) {
+  int32_t kh = k / 2;
+  for (int64_t r = 0; r < rows; ++r) {
+    const int8_t* src = band + r * k;
+    uint8_t* dst = out + r * kh;
+    for (int32_t j = 0; j < kh; ++j) {
+      dst[j] = static_cast<uint8_t>(
+          (static_cast<uint8_t>(src[2 * j]) & 0xF) |
+          ((static_cast<uint8_t>(src[2 * j + 1]) & 0xF) << 4));
+    }
   }
   return 0;
 }

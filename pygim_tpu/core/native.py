@@ -92,6 +92,21 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _i32p, _i32p, _f32p, ctypes.c_int32, _f32p
     ]
     lib.csr_to_dense_f32.restype = ctypes.c_int
+    _i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+    lib.csr_band_fill_f32.argtypes = [
+        _i32p, _i32p, _f32p, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, _f32p,
+    ]
+    lib.csr_band_fill_f32.restype = ctypes.c_int
+    lib.band_f32_to_int8.argtypes = [
+        _f32p, ctypes.c_int64, ctypes.c_float, ctypes.c_float, _i8p,
+        _i64p, ctypes.c_int64,
+    ]
+    lib.band_f32_to_int8.restype = ctypes.c_int64
+    lib.band_int8_pack_nibbles.argtypes = [
+        _i8p, ctypes.c_int64, ctypes.c_int32, _u8p
+    ]
+    lib.band_int8_pack_nibbles.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -153,6 +168,101 @@ def core_fill_native(rows, cols, vals, rank, k: int):
         # fallback: direct scatter (slow but correct)
         lib.core_fill_f32(rows, cols, vals, nnz, rank, k, out)
     return out, tail_mask
+
+
+def core_build_banded(rows, cols, vals, rank, k: int, core_dtype: str,
+                      band_bytes: int = 512 << 20):
+    """Build the hybrid hub-core directly in its STORED dtype
+    (bfloat16 (k,k) / int8 (k,k) / nibble-packed int4 uint8 (k,k/2))
+    without ever materializing the (k,k) float32 intermediate — the
+    full-dense fill + NumPy convert costs ~4k² bytes of fresh pages and
+    a second full pass (measured 870 s at k=113k, docs/PERF.md prepare
+    notes). Fills a reused f32 row band from the rank-space CSR and
+    converts/packs each band in one native pass.
+
+    Returns ``(core, tail_mask, bad_flat)`` — ``bad_flat`` the global
+    row-major flat indices of cells demoted by the exact-integer range
+    check (always empty for bfloat16) — or None when the native library
+    is unavailable.
+    """
+    lib = get_lib()
+    if lib is None or core_dtype not in ("bfloat16", "int8", "int4"):
+        return None
+    if core_dtype == "int4" and k % 2:
+        return None  # caller pairs columns before packing
+    import ml_dtypes
+
+    rows = np.ascontiguousarray(rows, np.int32)
+    cols = np.ascontiguousarray(cols, np.int32)
+    vals = np.ascontiguousarray(vals, np.float32)
+    rank = np.ascontiguousarray(rank, np.int32)
+    nnz = rows.shape[0]
+    mask = np.empty(nnz, dtype=np.uint8)
+    lib.core_tail_mask(rows, cols, nnz, rank, k, mask)
+    tail_mask = mask.astype(bool)
+    in_core = ~tail_mask
+
+    if core_dtype == "bfloat16":
+        core = np.zeros((k, k), dtype=ml_dtypes.bfloat16)
+    elif core_dtype == "int8":
+        core = np.zeros((k, k), dtype=np.int8)
+    else:
+        core = np.zeros((k, k // 2), dtype=np.uint8)
+
+    rr = np.ascontiguousarray(rank[rows[in_core]])
+    cc = np.ascontiguousarray(rank[cols[in_core]])
+    vv = np.ascontiguousarray(vals[in_core])
+    m = rr.shape[0]
+    if m == 0:
+        return core, tail_mask, np.empty(0, dtype=np.int64)
+    rowptr = np.empty(k + 1, dtype=np.int32)
+    if lib.coo_rowptr(rr, m, k, rowptr) != 0:
+        return None
+    colind = np.empty(m, dtype=np.int32)
+    sv = np.empty(m, dtype=np.float32)
+    lib.coo_to_csr_f32(rr, cc, vv, m, k, rowptr, colind, sv)
+
+    band_rows = max(1, min(k, band_bytes // (4 * k)))
+    band = np.empty((band_rows, k), dtype=np.float32)
+    i8 = (np.empty((band_rows, k), dtype=np.int8)
+          if core_dtype == "int4" else None)
+    hi, lo = (127.0, -128.0) if core_dtype == "int8" else (7.0, -8.0)
+    cap = 1 << 20
+    bad_buf = np.empty(cap, dtype=np.int64)
+    bad_parts = []
+    for r0 in range(0, k, band_rows):
+        r1 = min(k, r0 + band_rows)
+        nr = r1 - r0
+        lib.csr_band_fill_f32(rowptr, colind, sv, r0, r1, k, band)
+        fb = band[:nr]
+        n_cells = nr * k
+        if core_dtype == "bfloat16":
+            core[r0:r1] = fb.astype(ml_dtypes.bfloat16)
+            continue
+        dst = core[r0:r1] if core_dtype == "int8" else i8[:nr]
+        nb = lib.band_f32_to_int8(
+            fb.reshape(-1), n_cells, hi, lo, dst.reshape(-1), bad_buf, cap
+        )
+        if nb > cap:
+            # capacity overflow (pathological): rescan the band in NumPy
+            # for the complete index list (cells are already zeroed)
+            v = fb.reshape(-1)
+            bad_rel = np.flatnonzero(
+                ~((v >= lo) & (v <= hi) & (np.rint(v) == v))
+            ).astype(np.int64)
+        else:
+            bad_rel = bad_buf[:nb].copy()
+        if bad_rel.size:
+            bad_parts.append(bad_rel + np.int64(r0) * k)
+        if core_dtype == "int4":
+            lib.band_int8_pack_nibbles(
+                i8[:nr].reshape(-1), nr, k, core[r0:r1].reshape(-1)
+            )
+    bad_flat = (
+        np.concatenate(bad_parts) if bad_parts
+        else np.empty(0, dtype=np.int64)
+    )
+    return core, tail_mask, bad_flat
 
 
 def f32_to_bf16_bits(a: np.ndarray) -> np.ndarray:

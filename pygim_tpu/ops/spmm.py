@@ -683,26 +683,64 @@ class PreparedSpmm:
 
         from pygim_tpu.core import native
 
+        def _demote_edges(bad_flat, in_core):
+            """Move the edges of non-representable cells to the ELL tail:
+            an edge is demoted when its (rank-row, rank-col) cell is in
+            ``bad_flat`` (global row-major flat indices)."""
+            idx = np.flatnonzero(in_core)
+            flat = (
+                rank[coo.rows[idx]].astype(np.int64) * k
+                + rank[coo.cols[idx]]
+            )
+            demote = np.isin(flat, bad_flat)
+            in_core = in_core.copy()
+            in_core[idx[demote]] = False
+            import logging
+
+            logging.getLogger("pygim_tpu").info(
+                "%s core: %d cells (%d edges) not representable"
+                " — demoted to the ELL tail",
+                core_dtype, bad_flat.size, int(demote.sum()),
+            )
+            return in_core
+
         dense = None
+        banded = None
         pt.start("core_fill")
         if k == 0:
             in_core = np.zeros(coo.nnz, dtype=bool)
         else:
-            filled = native.core_fill_native(
-                coo.rows, coo.cols, coo.vals.astype(np.float32), rank, k
+            # banded native build: final-dtype core directly, no (k,k)
+            # f32 intermediate (measured 870 s of page faults + NumPy
+            # temp churn at k=113k — docs/PERF.md prepare notes)
+            banded = native.core_build_banded(
+                coo.rows, coo.cols, coo.vals.astype(np.float32), rank, k,
+                core_dtype,
             )
-            if filled is not None:
-                dense, tail_mask = filled
+            if banded is not None:
+                dense, tail_mask, bad_flat = banded
                 in_core = ~tail_mask
+                if bad_flat.size:
+                    in_core = _demote_edges(bad_flat, in_core)
             else:
-                rr = rank[coo.rows]
-                cc = rank[coo.cols]
-                in_core = (rr < k) & (cc < k)
-                flat = rr[in_core].astype(np.int64) * k + cc[in_core]
-                dense = np.bincount(
-                    flat, weights=coo.vals[in_core].astype(np.float64),
-                    minlength=k * k,
-                ).reshape(k, k).astype(np.float32)
+                filled = native.core_fill_native(
+                    coo.rows, coo.cols, coo.vals.astype(np.float32), rank, k
+                )
+                if filled is not None:
+                    dense, tail_mask = filled
+                    in_core = ~tail_mask
+                else:
+                    rr = rank[coo.rows]
+                    cc = rank[coo.cols]
+                    in_core = (rr < k) & (cc < k)
+                    flat = rr[in_core].astype(np.int64) * k + cc[in_core]
+                    dense = np.bincount(
+                        flat, weights=coo.vals[in_core].astype(np.float64),
+                        minlength=k * k,
+                    ).reshape(k, k).astype(np.float32)
+        pt.stop("core_fill")
+        if k > 0 and banded is None:
+            pt.start("core_convert")
             if core_dtype == "bfloat16":
                 dense = native.f32_to_bf16_bits(dense).reshape(k, k)
             elif core_dtype in ("int8", "int4"):
@@ -734,21 +772,7 @@ class PreparedSpmm:
                     bad_flat = np.concatenate(bad_r) * k + np.concatenate(
                         bad_c
                     )
-                    idx = np.flatnonzero(in_core)
-                    flat = (
-                        rank[coo.rows[idx]].astype(np.int64) * k
-                        + rank[coo.cols[idx]]
-                    )
-                    demote = np.isin(flat, bad_flat)
-                    in_core = in_core.copy()
-                    in_core[idx[demote]] = False
-                    import logging
-
-                    logging.getLogger("pygim_tpu").info(
-                        "%s core: %d cells (%d edges) not representable"
-                        " — demoted to the ELL tail",
-                        core_dtype, bad_flat.size, int(demote.sum()),
-                    )
+                    in_core = _demote_edges(bad_flat, in_core)
                 if core_dtype == "int4":
                     # nibble-pack: byte j holds cells (2j, 2j+1) of the
                     # row — low nibble = even column, high = odd. Packed
@@ -760,7 +784,7 @@ class PreparedSpmm:
                         hi4 = blk[:, 1::2].astype(np.uint8) & 0xF
                         packed[lo : lo + 4096] = lo4 | (hi4 << 4)
                     dense = packed
-        pt.stop("core_fill")
+            pt.stop("core_convert")
 
         host: dict = {"k": np.int64(k), "core_dtype": np.str_(core_dtype)}
         if k > 0:

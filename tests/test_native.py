@@ -50,3 +50,63 @@ def test_native_speed_on_large_graph(rng):
     assert time.time() - t0 < 5.0
     rowptr, colind, vals = res
     assert rowptr[-1] == coo.nnz
+
+
+def _unpack_int4(core):
+    lo4 = (core & 0xF).astype(np.int8)
+    lo4[lo4 > 7] -= 16
+    hi4 = (core >> 4).astype(np.int8)
+    hi4[hi4 > 7] -= 16
+    k = core.shape[0]
+    got = np.empty((k, k), np.int8)
+    got[:, 0::2] = lo4
+    got[:, 1::2] = hi4
+    return got
+
+
+@pytest.mark.parametrize("core_dtype", ["int8", "int4", "bfloat16"])
+def test_core_build_banded_matches_dense_reference(rng, core_dtype):
+    """Banded final-dtype core build ≡ full f32 fill + convert (incl.
+    the exact-integer demotion bookkeeping for int8/int4 cores)."""
+    n, e, k = 500, 8000, 128
+    rows = rng.integers(0, n, e).astype(np.int32)
+    cols = rng.integers(0, n, e).astype(np.int32)
+    vals = rng.integers(1, 4, e).astype(np.float32)
+    deg = np.bincount(rows, minlength=n) + np.bincount(cols, minlength=n)
+    order = np.argsort(-deg).astype(np.int32)
+    rank = np.empty(n, np.int32)
+    rank[order] = np.arange(n, dtype=np.int32)
+    # force demotions: out-of-range and non-integer cells between hubs
+    hub = order[:8]
+    rows[:30] = rng.choice(hub, 30).astype(np.int32)
+    cols[:30] = rng.choice(hub, 30).astype(np.int32)
+    vals[:10] = 300.0
+    vals[10:20] = 2.5
+
+    out = native.core_build_banded(
+        rows, cols, vals, rank, k, core_dtype, band_bytes=1 << 12
+    )
+    if out is None:
+        pytest.skip("native planner unavailable")
+    core, tail_mask, bad = out
+
+    in_core = (rank[rows] < k) & (rank[cols] < k)
+    np.testing.assert_array_equal(tail_mask, ~in_core)
+    ref = np.zeros((k, k), np.float64)
+    np.add.at(ref, (rank[rows[in_core]], rank[cols[in_core]]), vals[in_core])
+    if core_dtype == "bfloat16":
+        import ml_dtypes
+
+        expect = ref.astype(np.float32).astype(ml_dtypes.bfloat16)
+        np.testing.assert_array_equal(
+            core.astype(np.float32), expect.astype(np.float32)
+        )
+        assert bad.size == 0
+        return
+    hi = 127 if core_dtype == "int8" else 7
+    badmask = (ref > hi) | (ref < -hi - 1) | (ref != np.rint(ref))
+    assert badmask.sum() > 0  # the forced demotions actually landed
+    expect = np.where(badmask, 0, ref).astype(np.int8)
+    got = core if core_dtype == "int8" else _unpack_int4(core)
+    np.testing.assert_array_equal(got, expect)
+    assert set(bad.tolist()) == set(np.flatnonzero(badmask).tolist())
