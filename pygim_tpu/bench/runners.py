@@ -193,6 +193,11 @@ def run_inference_benchmark(
     else:
         prep = prepare_spmm(graph, config or SpmmConfig())
     rep.report("prepare_pim_time(ms)", (time.perf_counter() - t0) * 1e3)
+    for ph, sec in getattr(
+        getattr(prep, "prepare_timer", None), "acc", {}
+    ).items():
+        # host-side prepare sub-phases (timer.c slot analog)
+        rep.report(f"prepare_{ph}_time(ms)", sec * 1e3)
     from pygim_tpu.compat import describe_layout
 
     rep.report("layout", describe_layout(prep))

@@ -333,7 +333,32 @@ def autotune(
     tables that don't fit.
     """
     csr = graph if isinstance(graph, CsrGraph) else graph.to_csr()
-    space = space if space is not None else DEFAULT_SPACE
+    if space is None:
+        # full default search: the blocked/ell/hybrid backends PLUS the
+        # hybrid knob axes (core budget × core dtype) — the reference
+        # tuner's whole job was picking the distribution, so the default
+        # must cover the axes that dominate measured time (docs/PERF.md:
+        # core budget/dtype moved products 3.45 s → 2.24 s)
+        pts, seen = [], set()
+        for p in list(DEFAULT_SPACE) + list(HYBRID_SPACE):
+            j = json.dumps(p, sort_keys=True)
+            if j not in seen:
+                seen.add(j)
+                pts.append(p)
+        space = pts
+    if hbm_budget_bytes is None:
+        # best-effort per-device cap from the runtime (prunes hybrid
+        # cores that cannot fit next to x/output/tables); platforms
+        # without memory_stats (CPU) stay uncapped, as before
+        try:
+            import jax
+
+            st = jax.local_devices()[0].memory_stats()
+            lim = (st or {}).get("bytes_limit")
+            if lim:
+                hbm_budget_bytes = int(lim * 0.92)
+        except Exception:
+            pass
     # every candidate carries the tuned width: choose_ell_degree (and the
     # hybrid/BCSR guards) read hidden_hint at PREPARE time, so leaving the
     # dataclass default would make prepare pick a different plan than the

@@ -412,3 +412,16 @@ class TestPhaseTimes:
         assert pred_ms < 2 * meas_ms and pred_ms > meas_ms / 2, (
             pred_ms, meas_ms,
         )
+
+
+def test_autotune_default_space_covers_hybrid_knobs(rng, tmp_path, monkeypatch):
+    """space=None searches the hybrid knob axes (core budget × dtype) in
+    addition to the backend/balance/block axes — the measured dominant
+    axes on hub graphs (docs/PERF.md)."""
+    monkeypatch.setenv("PYGIM_TPU_TUNE_CACHE", str(tmp_path))
+    coo = random_coo(rng, nrows=3000, ncols=3000, nnz=30000, dtype="int8")
+    res = autotune(coo, hidden=32, use_cache=False)
+    points = [p for p, _, _, _ in res.candidates]
+    assert {p.get("hybrid_dtype") for p in points} >= {"bfloat16", "int8", "int4"}
+    assert len({p.get("hybrid_core_bytes") for p in points}) > 1
+    assert {p.get("backend") for p in points} >= {"blocked", "ell", "hybrid"}
