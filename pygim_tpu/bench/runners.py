@@ -103,14 +103,15 @@ def run_spmm_benchmark(
     if verify:
         cfg = getattr(prep, "config", None)
         # a reduced-precision core computes float payloads in bf16 —
-        # true for a bfloat16 core AND an int8 core fed floats (the s8
-        # cells are exact, but the payload is cast to bf16 for the MXU);
-        # int payloads through an int8 core stay exact-integer
+        # true for a bfloat16 core AND an int8/int4 core fed floats (the
+        # integer cells are exact, but the payload is cast to bf16 for
+        # the MXU); int payloads through an int8/int4 core stay
+        # exact-integer
         loose = (
             cfg is not None and cfg.backend == "hybrid"
             and (
                 cfg.hybrid_dtype == "bfloat16"
-                or (cfg.hybrid_dtype == "int8"
+                or (cfg.hybrid_dtype in ("int8", "int4")
                     and jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating))
             )
         )

@@ -87,11 +87,23 @@ def restore_checkpoint(path, params_template, extra_template: dict | None = None
     # square weights, renamed layers) restore positionally into the
     # wrong slots
     saved_td = meta.get("treedef")
+    bare = False
     if saved_td is not None and saved_td != str(treedef):
-        raise ValueError(
-            f"checkpoint tree structure differs from template:\n"
-            f"  saved:    {saved_td}\n  template: {treedef}"
-        )
+        # legacy layout (pre-extra/orbax, no "format" key): the bare
+        # params pytree was saved unwrapped — same leaves, same order
+        flat_p, treedef_p = jax.tree_util.tree_flatten(params_template)
+        if (
+            meta.get("format") is None
+            and extra_template is None
+            and saved_td == str(treedef_p)
+        ):
+            bare = True
+            flat_t, treedef = flat_p, treedef_p
+        else:
+            raise ValueError(
+                f"checkpoint tree structure differs from template:\n"
+                f"  saved:    {saved_td}\n  template: {treedef}"
+            )
     if meta.get("format") == "orbax":
         if _ocp is None:
             raise RuntimeError(
@@ -122,6 +134,8 @@ def restore_checkpoint(path, params_template, extra_template: dict | None = None
         out.append(jax.numpy.asarray(a, dtype=np.asarray(t).dtype))
     tree = jax.tree_util.tree_unflatten(treedef, out)
     step = meta.get("step", 0)
+    if bare:
+        return tree, step
     if extra_template is not None:
         params = tree.pop("params")
         return params, tree, step

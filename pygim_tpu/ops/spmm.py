@@ -268,6 +268,57 @@ def _nibble_halves(packed, cdt):
     return lo.astype(cdt), hi.astype(cdt)
 
 
+# int32 temp budget for the chunked wide-integer core product; module
+# constant so tests can shrink it to exercise the multi-chunk path
+_WIDE_INT_CHUNK_BYTES = 1 << 28
+
+
+def _wide_int_core_dot(core, xq):
+    """Exact int32 core product for WIDE integer payloads (int16/int32
+    quantization, |q| up to 2^19 — not s8-representable): the stored
+    int8/packed-int4 core must promote to int32, but a whole-core
+    ``astype`` materializes a 4×(int8)–8×(int4) temp (~24 GiB at the
+    products core) — an HBM OOM. Promote CHUNKED instead: scan row
+    chunks of the core, convert + dot each (≤256 MB of int32 temp),
+    and stitch the (k, H) product. The last chunk overlaps (clamped
+    start) rather than padding the multi-GiB core."""
+    k = core.shape[0]
+    chunk = max(256, min(k, _WIDE_INT_CHUNK_BYTES // max(1, 4 * k)))
+    n_steps = -(-k // chunk)
+    if n_steps <= 1:
+        if core.dtype == jnp.uint8:
+            lo, hi = _nibble_halves(core, jnp.int32)
+            return jnp.dot(lo, xq[0::2], preferred_element_type=jnp.int32) \
+                + jnp.dot(hi, xq[1::2], preferred_element_type=jnp.int32)
+        return jnp.dot(
+            core.astype(jnp.int32), xq, preferred_element_type=jnp.int32
+        )
+
+    def body(carry, i):
+        start = jnp.minimum(i * chunk, k - chunk)
+        blk = jax.lax.dynamic_slice(
+            core, (start, jnp.int32(0)), (chunk, core.shape[1])
+        )
+        if core.dtype == jnp.uint8:
+            lo, hi = _nibble_halves(blk, jnp.int32)
+            part = jnp.dot(
+                lo, xq[0::2], preferred_element_type=jnp.int32
+            ) + jnp.dot(hi, xq[1::2], preferred_element_type=jnp.int32)
+        else:
+            part = jnp.dot(
+                blk.astype(jnp.int32), xq, preferred_element_type=jnp.int32
+            )
+        return jax.lax.dynamic_update_slice(
+            carry, part, (start, jnp.int32(0))
+        ), None
+
+    out0 = jnp.zeros((k, xq.shape[1]), dtype=jnp.int32)
+    out, _ = jax.lax.scan(
+        body, out0, jnp.arange(n_steps, dtype=jnp.int32)
+    )
+    return out
+
+
 def _core_matmul(core, xq, acc):
     """Dense hub-core product with dtype-aware MXU routing. An int8 core
     multiplies int8 payloads on the MXU's double-rate s8 path with exact
@@ -286,8 +337,7 @@ def _core_matmul(core, xq, acc):
         if xq.dtype == jnp.int8:
             cdt, pet = jnp.int8, jnp.int32
         elif jnp.issubdtype(xq.dtype, jnp.integer):
-            cdt = pet = jnp.int32
-            xq = xq.astype(jnp.int32)
+            return _wide_int_core_dot(core, xq.astype(jnp.int32))
         else:
             cdt, pet = jnp.bfloat16, acc
             xq = xq.astype(jnp.bfloat16)
@@ -299,10 +349,7 @@ def _core_matmul(core, xq, acc):
         if xq.dtype == jnp.int8:
             return jnp.dot(core, xq, preferred_element_type=jnp.int32)
         if jnp.issubdtype(xq.dtype, jnp.integer):
-            return jnp.dot(
-                core.astype(jnp.int32), xq.astype(jnp.int32),
-                preferred_element_type=jnp.int32,
-            )
+            return _wide_int_core_dot(core, xq.astype(jnp.int32))
         return jnp.dot(
             core.astype(jnp.bfloat16), xq.astype(jnp.bfloat16),
             preferred_element_type=acc,

@@ -143,7 +143,7 @@ class PreparedSpmm2D:
         rank[order] = np.arange(n, dtype=np.int32)
 
         core_dtype = config.hybrid_dtype or "float32"
-        itemsize = {"bfloat16": 2, "int8": 1}.get(core_dtype, 4)
+        itemsize = {"bfloat16": 2, "int8": 1, "int4": 0.5}.get(core_dtype, 4)
         if config.hybrid_k is not None:
             k = max(1, min(config.hybrid_k, n))
         else:
@@ -160,6 +160,8 @@ class PreparedSpmm2D:
         w = self.ncols_pad // sp
         owner = order[:k] // w  # shard owning each ranked node's x row
         k_col_pad = max(8, int(np.bincount(owner, minlength=sp).max()))
+        if core_dtype == "int4":
+            k_col_pad += k_col_pad % 2  # nibble packing pairs slab columns
         # rank -> position within its shard's column slice
         pos_in_shard = np.zeros(k, dtype=np.int64)
         sels = []
@@ -168,9 +170,14 @@ class PreparedSpmm2D:
             pos_in_shard[sel] = np.arange(sel.size)
             sels.append(sel)
         np_core = {
-            "bfloat16": ml_dtypes.bfloat16, "int8": np.int8
+            "bfloat16": ml_dtypes.bfloat16, "int8": np.int8,
+            "int4": np.uint8,
         }.get(core_dtype, np.float32)
-        cores = np.zeros((sp, k, k_col_pad), dtype=np_core)
+        # int4 tier: nibble-packed uint8, slab column pairs (2j, 2j+1)
+        # per byte — matches the run path's even/odd dot pair over the
+        # core_rows-gathered x slice (_core_matmul's uint8 branch)
+        core_cols = k_col_pad // 2 if core_dtype == "int4" else k_col_pad
+        cores = np.zeros((sp, k, core_cols), dtype=np_core)
         core_rows = np.zeros((sp, k_col_pad), dtype=np.int32)
         for s, p in enumerate(parts):
             lo = s * w
@@ -184,12 +191,13 @@ class PreparedSpmm2D:
             slab = np.zeros((k, k_col_pad), dtype=np.float32)
             np.add.at(slab, (rr[in_core], pos_in_shard[cc[in_core]]),
                       p.vals[in_core].astype(np.float32))
-            if core_dtype == "int8":
-                # cells not int8-representable are zeroed in the core and
-                # demoted to the exact ELL tail (ops/spmm.py does the same
-                # on the single-chip path)
+            if core_dtype in ("int8", "int4"):
+                # cells not representable in the integer core dtype are
+                # zeroed in the core and demoted to the exact ELL tail
+                # (ops/spmm.py does the same on the single-chip path)
+                hi_lim = 127 if core_dtype == "int8" else 7
                 r = np.round(slab)
-                bad = (np.abs(r) > 127) | (r != slab)
+                bad = (r > hi_lim) | (r < -hi_lim - 1) | (r != slab)
                 if bad.any():
                     br, bc2 = np.nonzero(bad)
                     bad_flat = br.astype(np.int64) * k_col_pad + bc2
@@ -202,7 +210,12 @@ class PreparedSpmm2D:
                     in_core[idx[demote]] = False
                     r = np.where(bad, 0.0, r)
                 slab = r
-            cores[s] = slab.astype(np_core)
+            if core_dtype == "int4":
+                lo4 = slab[:, 0::2].astype(np.int8).astype(np.uint8) & 0xF
+                hi4 = slab[:, 1::2].astype(np.int8).astype(np.uint8) & 0xF
+                cores[s] = lo4 | (hi4 << 4)
+            else:
+                cores[s] = slab.astype(np_core)
             del slab
             core_rows[s, : sels[s].size] = order[:k][sels[s]] - lo
             # strip core edges from the tail part (rebuild CSR)

@@ -140,11 +140,12 @@ def plan_statistics(
                     np.arange(csr.nrows, dtype=np.int64), deg
                 )
             rank, rows_of = memo["rank"], memo["rows_of"]
-            in_core = (rank[rows_of] < k) & (rank[csr.colind] < k)
-            tail_nnz = int((~in_core).sum())
             core_bytes = int(k * k * itemsize) // max(1, sp)  # per device
             tail_deg = memo.get(("tail_deg", k))
             if tail_deg is None:
+                # the O(nnz) mask is the expensive part — compute it
+                # once per distinct k across the whole candidate loop
+                in_core = (rank[rows_of] < k) & (rank[csr.colind] < k)
                 tail_deg = np.bincount(
                     rows_of[~in_core], minlength=csr.nrows
                 ).astype(np.int64)
@@ -349,14 +350,21 @@ def autotune(
     if hbm_budget_bytes is None:
         # best-effort per-device cap from the runtime (prunes hybrid
         # cores that cannot fit next to x/output/tables); platforms
-        # without memory_stats (CPU) stay uncapped, as before
+        # without memory_stats (CPU) stay uncapped, as before. Only
+        # consulted when a backend is ALREADY live: mode='model' tuning
+        # must stay pure host planning — initializing a client here
+        # would block forever behind another process on this
+        # one-client-at-a-time TPU tunnel (CLAUDE.md).
         try:
-            import jax
+            from jax._src import xla_bridge as _xb
 
-            st = jax.local_devices()[0].memory_stats()
-            lim = (st or {}).get("bytes_limit")
-            if lim:
-                hbm_budget_bytes = int(lim * 0.92)
+            if getattr(_xb, "_backends", None):
+                import jax
+
+                st = jax.local_devices()[0].memory_stats()
+                lim = (st or {}).get("bytes_limit")
+                if lim:
+                    hbm_budget_bytes = int(lim * 0.92)
         except Exception:
             pass
     # every candidate carries the tuned width: choose_ell_degree (and the

@@ -199,3 +199,28 @@ def test_checkpoint_rejects_structure_mismatch(tmp_path):
     renamed = {"z": {"w": jnp.ones((4, 4)), "b": jnp.zeros((4, 4))}}
     with pytest.raises(ValueError, match="structure"):
         restore_checkpoint(tmp_path / "ck", renamed)
+
+
+def test_checkpoint_restores_legacy_bare_params(tmp_path):
+    """Round-1 checkpoints saved the BARE params pytree (no {'params': ...}
+    wrapper, no "format" key in meta) — restore must still accept them."""
+    import json
+
+    import jax
+    import numpy as np
+
+    from pygim_tpu.nn.checkpoint import restore_checkpoint
+
+    params = {"w1": np.ones((3, 2), np.float32), "b": np.zeros(2, np.float32)}
+    flat, treedef = jax.tree_util.tree_flatten(params)
+    np.savez(tmp_path / "params.npz",
+             **{f"p{i}": a for i, a in enumerate(flat)})
+    (tmp_path / "meta.json").write_text(json.dumps(
+        {"step": 7, "n_leaves": len(flat), "treedef": str(treedef)}
+    ))
+    template = {"w1": np.zeros((3, 2), np.float32),
+                "b": np.zeros(2, np.float32)}
+    restored, step = restore_checkpoint(tmp_path, template)
+    assert step == 7
+    np.testing.assert_array_equal(np.asarray(restored["w1"]),
+                                  params["w1"])

@@ -224,3 +224,32 @@ def test_2d_hybrid_scatter_phase_times(rng):
         coo.to_dense().astype(np.float64) @ np.asarray(x, np.float64),
         rtol=1e-3, atol=1e-3,
     )
+
+
+@pytest.mark.parametrize("core_dtype", ["int8", "int4"])
+def test_2d_hybrid_integer_cores(rng, core_dtype):
+    """int8 and nibble-packed int4 cores on the 2D mesh: per-shard slabs
+    convert/pack to the stored dtype (demoting non-representable cells to
+    the tail), and the run's even/odd dot pair matches the dense oracle.
+    int4 = the autotuner's products-winning tier (docs/PERF.md E8)."""
+    from pygim_tpu.core.graph import CooGraph
+
+    n = 120
+    # integer-valued graph with some cells outside int4 range (multi-edges)
+    r = rng.integers(0, n, 4000)
+    c = rng.integers(0, n, 4000)
+    hub_r = np.zeros(40, dtype=r.dtype)  # 40 parallel edges: cell = 40 > 7
+    hub_c = np.ones(40, dtype=c.dtype)
+    coo = CooGraph.from_edges(
+        np.concatenate([r, hub_r]), np.concatenate([c, hub_c]),
+        np.ones(4040, dtype=np.float32), nrows=n, ncols=n,
+    )
+    x = rng.standard_normal((n, 16)).astype(np.float32)
+    prep = prepare_spmm_2d(
+        coo, make_mesh(2, 2),
+        SpmmConfig(backend="hybrid", hybrid_k=32, hybrid_dtype=core_dtype),
+    )
+    np.testing.assert_allclose(
+        np.asarray(prep.mul(jnp.asarray(x))), _dense_ref(coo, x),
+        rtol=3e-2, atol=1e-1,  # float payload rides bf16 through the core
+    )

@@ -726,3 +726,42 @@ def test_ell_grouped_accumulation(rng, monkeypatch):
     many = np.asarray(prepare_spmm(coo, cfg).mul(x))
     np.testing.assert_allclose(many, ref, rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(one, many)
+
+
+def test_wide_int_core_dot_chunked_matches_whole(monkeypatch):
+    """Wide integer payloads (int16/int32 quantization) through an
+    int8/int4 core promote to int32 CHUNKED — a whole-core astype is a
+    4-8x HBM temp at production core sizes. The scan-stitched product
+    must equal the single-dot result exactly."""
+    import jax.numpy as jnp
+
+    from pygim_tpu.ops import spmm as spmm_mod
+    from pygim_tpu.ops.spmm import _core_matmul
+
+    rng = np.random.default_rng(11)
+    k, h = 512, 8
+    core8 = rng.integers(-30, 30, size=(k, k)).astype(np.int8)
+    xq = rng.integers(-500, 500, size=(k, h)).astype(np.int32)
+    want = core8.astype(np.int64) @ xq.astype(np.int64)
+
+    # pack the same cells (clipped to int4 range) for the uint8 tier
+    core4 = np.clip(core8, -8, 7).astype(np.int8)
+    packed = ((core4[:, 0::2] & 0xF) | ((core4[:, 1::2] & 0xF) << 4)).astype(
+        np.uint8
+    )
+    want4 = core4.astype(np.int64) @ xq.astype(np.int64)
+
+    # tiny temp budget -> chunk=256, n_steps=2 (the scan path)
+    monkeypatch.setattr(spmm_mod, "_WIDE_INT_CHUNK_BYTES", 1 << 10)
+    got8 = np.asarray(_core_matmul(jnp.asarray(core8), jnp.asarray(xq),
+                                   jnp.float32))
+    got4 = np.asarray(_core_matmul(jnp.asarray(packed), jnp.asarray(xq),
+                                   jnp.float32))
+    np.testing.assert_array_equal(got8.astype(np.int64), want)
+    np.testing.assert_array_equal(got4.astype(np.int64), want4)
+
+    # and the default budget (single dot) agrees
+    monkeypatch.setattr(spmm_mod, "_WIDE_INT_CHUNK_BYTES", 1 << 28)
+    got8w = np.asarray(_core_matmul(jnp.asarray(core8), jnp.asarray(xq),
+                                    jnp.float32))
+    np.testing.assert_array_equal(got8w.astype(np.int64), want)

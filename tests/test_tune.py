@@ -317,9 +317,12 @@ class TestDistTuning:
         dense = sp.coo_matrix(
             (coo.vals, (coo.rows, coo.cols)), shape=(512, 512)
         ).toarray()
+        # the full default space may pick a reduced-precision core
+        # (bf16/int8/int4) whose float payload rides bf16 on the MXU
+        loose = res.config.hybrid_dtype in ("bfloat16", "int8", "int4")
         np.testing.assert_allclose(
             np.asarray(prep.mul(jnp.asarray(x))), dense @ x,
-            rtol=1e-4, atol=1e-4,
+            rtol=3e-2 if loose else 1e-4, atol=1e-1 if loose else 1e-4,
         )
 
     def test_measure_mode_multichip(self, rng, tmp_path, monkeypatch):
