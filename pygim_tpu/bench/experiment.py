@@ -52,7 +52,7 @@ class Experiment:
     hybrid_dtype: str = ""             # "" = vals dtype; "bfloat16" option
     bcsr_bytes: int = 0                # hybrid BCSR middle-tier budget
     bcsr_tile: int = 32                # BCSR tile rows
-    bcsr_order: str = "rank"           # BCSR ordering (rank | rcm)
+    bcsr_order: str = "rank"           # BCSR ordering (rank | rcm | lp)
     bcsr_layout: str = "row"           # BCSR scheduling (row | panel)
     exchange: str = "all_to_all"       # scaling kind: halo exchange
     phases: bool = False               # spmm kind: per-phase [DATA] times

@@ -107,6 +107,39 @@ def _synthesize(name: str, spec, seed=0) -> GraphDataset:
     )
 
 
+def _synthesize_block(name: str, n: int, e: int, b: int, seed=0):
+    """Block-community synthetic graph: ``n`` nodes in ``n/b`` communities
+    of ``b`` consecutive internal ids, 90% of edges intra-community, the
+    rest global — then node ids SCRAMBLED by a fixed permutation so the
+    structure is latent (a locality order such as RCM must recover it,
+    exactly the shipped clustering/BCSR pipeline's job)."""
+    rng = np.random.default_rng(seed)
+    b = max(1, min(b, n))
+    e_in = int(e * 0.9)
+    comm = rng.integers(0, max(1, n // b), e_in) * b
+    rows = np.concatenate([
+        comm + rng.integers(0, b, e_in),
+        rng.integers(0, n, e - e_in),
+    ])
+    cols = np.concatenate([
+        comm + rng.integers(0, b, e_in),
+        rng.integers(0, n, e - e_in),
+    ])
+    perm = rng.permutation(n).astype(np.int64)
+    rows, cols = perm[rows], perm[cols]
+    graph = CooGraph.from_edges(rows, cols, nrows=n, ncols=n, dtype="float32")
+    f, ccount = 64, 16
+    rng2 = np.random.default_rng(seed + 1)
+    x = rng2.standard_normal((n, f)).astype(np.float32)
+    y = rng2.integers(0, ccount, n).astype(np.int32)
+    train = np.zeros(n, dtype=bool)
+    train[rng2.choice(n, max(1, n // 10), replace=False)] = True
+    return GraphDataset(
+        name=name, graph=graph, x=x, y=y, train_mask=train,
+        test_mask=~train, num_classes=ccount, synthetic=True,
+    )
+
+
 def _cache_path(name: str, root: str) -> Path:
     return Path(root) / f"{name}.npz"
 
@@ -195,6 +228,16 @@ def load_dataset(
         _, ns, es = name.split("-")
         spec = (int(ns), int(es), 64, 16)
         return _synthesize(name, spec, seed)
+    if name.startswith("brmat-"):
+        # block-community variant 'brmat-<n>-<e>-<b>': communities of
+        # ``b`` nodes under a hidden permutation, 90% of edges intra-
+        # community — the structured counterpart of the rmat names.
+        # Halo/clustering/BCSR experiments need a graph whose mid-band
+        # is genuinely tile-dense once a locality order recovers the
+        # communities (R-MAT tails are Erdős–Rényi at block granularity,
+        # docs/PERF.md block-ELL study).
+        _, ns, es, bs = name.split("-")
+        return _synthesize_block(name, int(ns), int(es), int(bs), seed)
     if name.endswith(".mtx"):
         # SuiteSparse matrices as datasets (reference spmm_test.py:82
         # '--dataset pkustk08.mtx'): graph from the file, synthetic

@@ -848,30 +848,48 @@ class PreparedSpmm:
             from pygim_tpu.core.bcsr import build_bcsr_tiles
 
             t_idx = np.flatnonzero(tail_sel)
-            # tile ordering: degree rank by default; "rcm" re-orders the
-            # non-core band by reverse Cuthill-McKee of the tail
-            # subgraph — measured on products-sim this densifies tiles
-            # (13.1% vs 8.9% of edges captured at Tr=16, docs/PERF.md)
+            # tile ordering: degree rank by default; "rcm" (reverse
+            # Cuthill-McKee — bandwidth-shaped) or "lp" (label
+            # propagation — community-shaped) re-order the non-core band
+            # by the tail subgraph's structure. Measured: rcm 13.1% vs
+            # rank 8.9% tile capture on products-sim (Tr=16); lp recovers
+            # latent block communities rcm's BFS layering splits
+            # (docs/PERF.md)
             t_order, t_rank = order, rank
-            if config.bcsr_order == "rcm" and k < n:
+            if config.bcsr_order in ("rcm", "lp") and k < n:
                 import scipy.sparse as sp
-                from scipy.sparse.csgraph import reverse_cuthill_mckee
 
                 tail_nodes = np.sort(order[k:])
                 pos = np.full(n, -1, dtype=np.int64)
                 pos[tail_nodes] = np.arange(n - k)
                 rr0, cc0 = coo.rows[t_idx], coo.cols[t_idx]
                 mm = (pos[rr0] >= 0) & (pos[cc0] >= 0)
-                sub = sp.csr_matrix(
-                    (
-                        np.ones(int(mm.sum()), np.int8),
-                        (pos[rr0[mm]], pos[cc0[mm]]),
-                    ),
-                    shape=(n - k, n - k),
-                )
-                perm = np.asarray(
-                    reverse_cuthill_mckee(sub, symmetric_mode=False)
-                )
+                if config.bcsr_order == "rcm":
+                    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+                    sub = sp.csr_matrix(
+                        (
+                            np.ones(int(mm.sum()), np.int8),
+                            (pos[rr0[mm]], pos[cc0[mm]]),
+                        ),
+                        shape=(n - k, n - k),
+                    )
+                    perm = np.asarray(
+                        reverse_cuthill_mckee(sub, symmetric_mode=False)
+                    )
+                else:
+                    from pygim_tpu.core.cluster import locality_order
+                    from pygim_tpu.core.graph import CooGraph as _Coo
+
+                    perm = locality_order(
+                        _Coo(
+                            rows=pos[rr0[mm]].astype(np.int32),
+                            cols=pos[cc0[mm]].astype(np.int32),
+                            vals=np.ones(int(mm.sum()), np.float32),
+                            nrows=n - k, ncols=n - k,
+                        ),
+                        "lp",
+                    )
                 t_order = np.concatenate(
                     [order[:k], tail_nodes[perm]]
                 ).astype(order.dtype)

@@ -765,3 +765,30 @@ def test_wide_int_core_dot_chunked_matches_whole(monkeypatch):
     got8w = np.asarray(_core_matmul(jnp.asarray(core8), jnp.asarray(xq),
                                     jnp.float32))
     np.testing.assert_array_equal(got8w.astype(np.int64), want)
+
+
+def test_bcsr_lp_order_recovers_latent_communities(rng):
+    """bcsr_order='lp' (label propagation) recovers scrambled block
+    communities that degree-rank ordering cannot see: far higher tile
+    capture, same numerics (measured host-side: lp 0.85 vs rcm 0.51 vs
+    rank 0.0 coverage on brmat-200k — docs/PERF.md)."""
+    import jax.numpy as jnp
+
+    from pygim_tpu.data import load_dataset
+
+    ds = load_dataset("brmat-4000-120000-64", use_cache=False)
+    g = ds.graph
+    covs = {}
+    for order in ("rank", "lp"):
+        cfg = SpmmConfig(
+            backend="hybrid", hybrid_k=0, bcsr_bytes=64 << 20,
+            bcsr_tile=16, bcsr_order=order, bcsr_layout="panel",
+            hidden_hint=16, bcsr_min_edges=24,
+        )
+        prep = prepare_spmm(g, cfg)
+        covs[order] = (prep.bcsr_edges / g.nnz) if prep.has_bcsr else 0.0
+        x = rng.standard_normal((g.ncols, 16)).astype(np.float32)
+        out = np.asarray(prep.mul(jnp.asarray(x)))
+        ref = g.to_dense().astype(np.float64) @ x
+        np.testing.assert_allclose(out, ref, rtol=2e-2, atol=1e-1)
+    assert covs["lp"] > max(0.3, 2 * covs["rank"])
