@@ -110,3 +110,42 @@ def test_core_build_banded_matches_dense_reference(rng, core_dtype):
     got = core if core_dtype == "int8" else _unpack_int4(core)
     np.testing.assert_array_equal(got, expect)
     assert set(bad.tolist()) == set(np.flatnonzero(badmask).tolist())
+
+
+@pytest.mark.parametrize("core_dtype", ["int8", "int4", "bfloat16"])
+def test_hybrid_prepare_banded_equals_fallback(rng, monkeypatch, tmp_path,
+                                               core_dtype):
+    """End-to-end: the banded native hybrid prepare and the pure-NumPy
+    fallback produce identical device tables (core bytes, ELL tail,
+    demotion set)."""
+    import jax.numpy as jnp
+
+    from pygim_tpu.ops.spmm import SpmmConfig, prepare_spmm
+
+    coo = random_coo(rng, nrows=400, ncols=400, nnz=6000)
+    # integer-valued with forced demotions for the integer tiers
+    vals = rng.integers(1, 4, coo.nnz).astype(np.float32)
+    vals[:10] = 300.0
+    vals[10:20] = 9.0  # in int8 range, outside int4's [-8, 7]
+    import dataclasses
+
+    coo = dataclasses.replace(coo, vals=vals)
+    cfg = SpmmConfig(backend="hybrid", hybrid_k=64, hybrid_dtype=core_dtype)
+
+    monkeypatch.setenv("PYGIM_TPU_DATA", str(tmp_path / "n"))
+    assert native.native_available()
+    prep_n = prepare_spmm(coo, cfg)
+
+    monkeypatch.setenv("PYGIM_TPU_NO_NATIVE", "1")
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_tried", False)
+    monkeypatch.setenv("PYGIM_TPU_DATA", str(tmp_path / "f"))
+    prep_f = prepare_spmm(coo, cfg)
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_tried", False)
+
+    for key in prep_n._dev:
+        a, b = np.asarray(prep_n._dev[key]), np.asarray(prep_f._dev[key])
+        if a.dtype == jnp.bfloat16:
+            a, b = a.astype(np.float32), b.astype(np.float32)
+        np.testing.assert_array_equal(a, b, err_msg=key)
