@@ -32,17 +32,18 @@ BASELINE_EXPERIMENTS = [
                sp_format="coo", tune=True),
     Experiment(dataset="ogbn-arxiv", kind="inference", model="sage",
                sp_format="csr", tune=True),
-    # (4) INT8-quantized GCN on ogbn-products — max-size int8 hub-core,
-    # no middle tier: the measured coverage curve (docs/PERF.md round-2)
-    # shows 1 GiB of core streams in ~1.2 ms/mul but removes ≥5 ms of
-    # issue-bound tail gather at EVERY k that fits HBM, and beats BCSR
-    # tiles ~3× in coverage per byte — so the core gets the biggest
-    # budget that coexists with products' device residency (2.45M-node
-    # hidden activations ≈ 2.5 GB/layer f32 + tail tables; a measured
-    # 8 GiB core OOM'd the 16 GB chip): 6 GiB ⇒ k=78336, ~44% of edges
-    # dense vs 34.4% in the round-1 bf16-core config
+    # (4) INT8-quantized GCN on ogbn-products — max-size NIBBLE-PACKED
+    # int4 hub-core, no middle tier: the measured coverage curve
+    # (docs/PERF.md round-2) shows 1 GiB of core streams in ~1.2 ms/mul
+    # but removes ≥5 ms of issue-bound tail gather at EVERY k that fits
+    # HBM, and beats BCSR tiles ~3× in coverage per byte; int4 packing
+    # (0.5 B/cell, >99% of cells are small duplicate-merge counts)
+    # doubles k² at the same budget — measured 2.24 s validated vs
+    # 2.52 s for the int8 core at the same 6 GiB (E8, docs/PERF.md).
+    # The budget coexists with products' device residency (2.45M-node
+    # hidden activations ≈ 2.5 GB/layer f32 + tail tables).
     Experiment(dataset="ogbn-products", kind="inference", model="gcn",
-               dtype="int8", backend="hybrid", hybrid_dtype="int8",
+               dtype="int8", backend="hybrid", hybrid_dtype="int4",
                hybrid_core_bytes=6 << 30, validate=True),
     # (5) ogbn-papers100M GCN edge-partitioned multi-host with ICI halo
     # exchange — rehearsal scale: an R-MAT with papers100M's density
