@@ -323,9 +323,10 @@ def _core_matmul(core, xq, acc):
     """Dense hub-core product with dtype-aware MXU routing. An int8 core
     multiplies int8 payloads on the MXU's double-rate s8 path with exact
     int32 accumulation; wider integer payloads (int16/int32 quantization,
-    |q| up to 2^19 — not int8-representable) promote both operands to
-    int32; float payloads ride bf16 (core cells are integers ≤127, exact
-    in bf16's 8-bit mantissa). Non-int8 cores keep their native dtype.
+    |q| up to 2^19 — not int8-representable) promote to int32 in bounded
+    row chunks (:func:`_wide_int_core_dot`); float payloads ride bf16
+    (core cells are integers ≤127, exact in bf16's 8-bit mantissa).
+    Non-int8 cores keep their native dtype.
 
     A uint8 core is the nibble-packed int4 tier (0.5 B/cell in HBM —
     k grows √2 over int8 at the same budget): byte j of a row holds
