@@ -8,7 +8,9 @@
 //   * nnz-balanced row-block boundary search,
 //   * padded ELL block-table materialization (colind/vals/rowloc),
 // which in NumPy cost multiple passes and peak 3x memory. These kernels
-// are single-pass, cache-friendly, and OpenMP-free (deterministic).
+// are single-pass and cache-friendly. The banded core build is
+// OpenMP-parallel over bands (disjoint output rows, so results stay
+// bit-deterministic; the demoted-cell index list is sorted by the caller).
 //
 // All exported symbols use a flat C ABI: int32/int64/float arrays
 // preallocated by the caller (NumPy), sizes passed explicitly.
@@ -18,6 +20,10 @@
 #include <cstdint>
 #include <cstring>
 #include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 extern "C" {
 
@@ -258,6 +264,96 @@ int band_int8_pack_nibbles(const int8_t* band, int64_t rows, int32_t k,
     }
   }
   return 0;
+}
+
+// float32 -> bfloat16 with round-to-nearest-even (the rounding ml_dtypes'
+// astype uses), so the native bf16 core is bit-identical to the NumPy path.
+static inline uint16_t f32_to_bf16_rne(float f) {
+  uint32_t x;
+  std::memcpy(&x, &f, 4);
+  if ((x & 0x7fffffffu) > 0x7f800000u) {
+    return static_cast<uint16_t>((x >> 16) | 0x0040u);  // quiet the NaN
+  }
+  x += 0x7fffu + ((x >> 16) & 1u);
+  return static_cast<uint16_t>(x >> 16);
+}
+
+int planner_threads() {
+#ifdef _OPENMP
+  return omp_get_max_threads();
+#else
+  return 1;
+#endif
+}
+
+// Whole-core banded build, parallel over bands. The rank-space CSR
+// (rowptr/colind/vals over k rows) is read-only; each band writes a
+// disjoint row range of `out`, so the core is bit-deterministic under any
+// thread schedule. mode: 0 = bfloat16 (uint16, k cols), 1 = int8 (k cols),
+// 2 = nibble-packed int4 (k/2 bytes per row). `bad` receives GLOBAL
+// row-major flat indices of cells demoted by the exact-integer range check
+// (unsorted — caller sorts); returns the total bad count, which may exceed
+// `cap` (caller re-invokes with a larger buffer).
+int64_t core_build_bands(const int32_t* rowptr, const int32_t* colind,
+                         const float* vals, int32_t k, int32_t band_rows,
+                         int32_t mode, float hi, float lo, void* out,
+                         int64_t* bad, int64_t cap) {
+  if (band_rows < 1) return -1;
+  int32_t n_bands = (k + band_rows - 1) / band_rows;
+  int64_t cursor = 0;  // total bad count; entries past `cap` are counted,
+                       // not stored
+#pragma omp parallel
+  {
+    std::vector<float> band(static_cast<size_t>(band_rows) * k);
+    std::vector<int8_t> stage;
+    if (mode == 2) stage.resize(static_cast<size_t>(band_rows) * k);
+    std::vector<int64_t> local_bad;
+#pragma omp for schedule(dynamic)
+    for (int32_t b = 0; b < n_bands; ++b) {
+      int32_t r0 = b * band_rows;
+      int32_t r1 = std::min(k, r0 + band_rows);
+      csr_band_fill_f32(rowptr, colind, vals, r0, r1, k, band.data());
+      int64_t n_cells = static_cast<int64_t>(r1 - r0) * k;
+      if (mode == 0) {
+        uint16_t* dst = static_cast<uint16_t*>(out) +
+                        static_cast<int64_t>(r0) * k;
+        for (int64_t i = 0; i < n_cells; ++i) dst[i] = f32_to_bf16_rne(band[i]);
+        continue;
+      }
+      int8_t* dst8 = (mode == 1)
+                         ? static_cast<int8_t*>(out) +
+                               static_cast<int64_t>(r0) * k
+                         : stage.data();
+      local_bad.clear();
+      for (int64_t i = 0; i < n_cells; ++i) {
+        float v = band[i];
+        if (!(v >= lo) || !(v <= hi) || std::nearbyint(v) != v) {
+          local_bad.push_back(static_cast<int64_t>(r0) * k + i);
+          dst8[i] = 0;
+        } else {
+          dst8[i] = static_cast<int8_t>(v);
+        }
+      }
+      if (mode == 2) {
+        uint8_t* dstp = static_cast<uint8_t*>(out) +
+                        static_cast<int64_t>(r0) * (k / 2);
+        band_int8_pack_nibbles(stage.data(), r1 - r0, k, dstp);
+      }
+      if (!local_bad.empty()) {
+        int64_t pos;
+#pragma omp critical(pygim_bad_append)
+        {
+          pos = cursor;
+          cursor += static_cast<int64_t>(local_bad.size());
+        }
+        for (size_t i = 0; i < local_bad.size(); ++i) {
+          int64_t at = pos + static_cast<int64_t>(i);
+          if (at < cap) bad[at] = local_bad[i];
+        }
+      }
+    }
+  }
+  return cursor;
 }
 
 }  // extern "C"

@@ -92,21 +92,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _i32p, _i32p, _f32p, ctypes.c_int32, _f32p
     ]
     lib.csr_to_dense_f32.restype = ctypes.c_int
-    _i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
-    lib.csr_band_fill_f32.argtypes = [
+    lib.planner_threads.argtypes = []
+    lib.planner_threads.restype = ctypes.c_int
+    lib.core_build_bands.argtypes = [
         _i32p, _i32p, _f32p, ctypes.c_int32, ctypes.c_int32,
-        ctypes.c_int32, _f32p,
-    ]
-    lib.csr_band_fill_f32.restype = ctypes.c_int
-    lib.band_f32_to_int8.argtypes = [
-        _f32p, ctypes.c_int64, ctypes.c_float, ctypes.c_float, _i8p,
+        ctypes.c_int32, ctypes.c_float, ctypes.c_float, ctypes.c_void_p,
         _i64p, ctypes.c_int64,
     ]
-    lib.band_f32_to_int8.restype = ctypes.c_int64
-    lib.band_int8_pack_nibbles.argtypes = [
-        _i8p, ctypes.c_int64, ctypes.c_int32, _u8p
-    ]
-    lib.band_int8_pack_nibbles.restype = ctypes.c_int
+    lib.core_build_bands.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -178,12 +171,14 @@ def core_build_banded(rows, cols, vals, rank, k: int, core_dtype: str,
     full-dense fill + NumPy convert costs ~4k² bytes of fresh pages and
     a second full pass (measured 870 s at k=113k, docs/PERF.md prepare
     notes). Fills a reused f32 row band from the rank-space CSR and
-    converts/packs each band in one native pass.
+    converts/packs each band in one native pass, OpenMP-parallel over
+    bands (disjoint output rows — bit-deterministic; ``band_bytes`` is
+    the TOTAL f32 band budget, split across threads).
 
-    Returns ``(core, tail_mask, bad_flat)`` — ``bad_flat`` the global
-    row-major flat indices of cells demoted by the exact-integer range
-    check (always empty for bfloat16) — or None when the native library
-    is unavailable.
+    Returns ``(core, tail_mask, bad_flat)`` — ``bad_flat`` the sorted
+    global row-major flat indices of cells demoted by the exact-integer
+    range check (always empty for bfloat16) — or None when the native
+    library is unavailable.
     """
     lib = get_lib()
     if lib is None or core_dtype not in ("bfloat16", "int8", "int4"):
@@ -222,46 +217,29 @@ def core_build_banded(rows, cols, vals, rank, k: int, core_dtype: str,
     sv = np.empty(m, dtype=np.float32)
     lib.coo_to_csr_f32(rr, cc, vv, m, k, rowptr, colind, sv)
 
-    band_rows = max(1, min(k, band_bytes // (4 * k)))
-    band = np.empty((band_rows, k), dtype=np.float32)
-    i8 = (np.empty((band_rows, k), dtype=np.int8)
-          if core_dtype == "int4" else None)
+    mode = {"bfloat16": 0, "int8": 1, "int4": 2}[core_dtype]
+    nthreads = max(1, int(lib.planner_threads()))
+    band_rows = max(1, min(k, band_bytes // (4 * k * nthreads)))
     hi, lo = (127.0, -128.0) if core_dtype == "int8" else (7.0, -8.0)
     cap = 1 << 20
     bad_buf = np.empty(cap, dtype=np.int64)
-    bad_parts = []
-    for r0 in range(0, k, band_rows):
-        r1 = min(k, r0 + band_rows)
-        nr = r1 - r0
-        lib.csr_band_fill_f32(rowptr, colind, sv, r0, r1, k, band)
-        fb = band[:nr]
-        n_cells = nr * k
-        if core_dtype == "bfloat16":
-            core[r0:r1] = fb.astype(ml_dtypes.bfloat16)
-            continue
-        dst = core[r0:r1] if core_dtype == "int8" else i8[:nr]
-        nb = lib.band_f32_to_int8(
-            fb.reshape(-1), n_cells, hi, lo, dst.reshape(-1), bad_buf, cap
-        )
-        if nb > cap:
-            # capacity overflow (pathological): rescan the band in NumPy
-            # for the complete index list (cells are already zeroed)
-            v = fb.reshape(-1)
-            bad_rel = np.flatnonzero(
-                ~((v >= lo) & (v <= hi) & (np.rint(v) == v))
-            ).astype(np.int64)
-        else:
-            bad_rel = bad_buf[:nb].copy()
-        if bad_rel.size:
-            bad_parts.append(bad_rel + np.int64(r0) * k)
-        if core_dtype == "int4":
-            lib.band_int8_pack_nibbles(
-                i8[:nr].reshape(-1), nr, k, core[r0:r1].reshape(-1)
-            )
-    bad_flat = (
-        np.concatenate(bad_parts) if bad_parts
-        else np.empty(0, dtype=np.int64)
+    out_ptr = ctypes.c_void_p(core.ctypes.data)
+    total = lib.core_build_bands(
+        rowptr, colind, sv, k, band_rows, mode, hi, lo, out_ptr,
+        bad_buf, cap,
     )
+    if total < 0:
+        return None
+    if total > cap:
+        # capacity overflow (pathological): one more pass with an
+        # exactly-sized buffer
+        bad_buf = np.empty(int(total), dtype=np.int64)
+        total = lib.core_build_bands(
+            rowptr, colind, sv, k, band_rows, mode, hi, lo, out_ptr,
+            bad_buf, int(total),
+        )
+    # thread append order is non-deterministic — sort for a stable result
+    bad_flat = np.sort(bad_buf[: int(total)].copy())
     return core, tail_mask, bad_flat
 
 
