@@ -18,7 +18,10 @@ with an analytical cost model fed by a native measurement op
 The search covers BOTH the reference tuner's axes (the distribution:
 sp×ds grid shape, halo exchange strategy, scatter_output —
 utils/autotuner.py:259-343) and the backend knobs that only exist here
-(hybrid core budget/dtype, ELL degree, nnz balance).
+(hybrid core budget/dtype, ELL degree, nnz balance), plus a second
+hierarchical stage that prices BCSR middle-tier variants (tile budget ×
+ordering) of the best single-chip hybrid candidate via the sampled
+structure probe (tune/bcsr_probe.py).
 
 Results are cached per (graph fingerprint, hidden, devices, mode) the way
 the reference keys its builds by frozen params (experiment.py:214-234).
@@ -111,6 +114,8 @@ def plan_statistics(
         csr.rowptr[plan_rb.bounds[1:]] - csr.rowptr[plan_rb.bounds[:-1]]
     )
     core_bytes = 0
+    bcsr = None
+    ell_scale = 1.0  # tail shrink from BCSR-tier capture
     if config.backend in ("ell", "hybrid"):
         from pygim_tpu.core.partition import choose_ell_degree
 
@@ -151,11 +156,35 @@ def plan_statistics(
                 ).astype(np.int64)
                 memo[("tail_deg", k)] = tail_deg
             deg = tail_deg
+            if config.bcsr_bytes > 0 and plan.layout == "single":
+                # BCSR middle tier (single-chip only): price tile
+                # capture with the sampled structure probe
+                # (tune/bcsr_probe.py); captured edges leave the ELL
+                # tail uniformly in the model
+                from pygim_tpu.tune.bcsr_probe import bcsr_statistics
+
+                bcsr = bcsr_statistics(
+                    csr, rank, rows_of, k,
+                    tile_rows=config.bcsr_tile,
+                    order=config.bcsr_order,
+                    budget_bytes=config.bcsr_bytes,
+                    hidden=hidden,
+                    itemsize=2,  # tiles store bf16 (ops/spmm.py bcsr)
+                    min_edges=config.bcsr_min_edges,
+                    _memo=memo,
+                )
+                ell_scale = max(
+                    0.0,
+                    1.0 - bcsr["captured_edges"]
+                    / max(1, bcsr["tail_edges"]),
+                )
         D = config.ell_degree or choose_ell_degree(deg, hidden=hidden)
         n_vr = -(-deg[deg > 0] // D)
-        padded_nnz = int(n_vr.sum() * D)
+        padded_nnz = int(n_vr.sum() * D * ell_scale)
         # merge of virtual rows: one write + one scattered read per vrow
-        scatter_bytes = 2 * int(n_vr.sum()) * h_local * dtype_bytes
+        scatter_bytes = int(
+            2 * int(n_vr.sum()) * h_local * dtype_bytes * ell_scale
+        )
     else:
         padded_nnz = nb * plan_rb.nnz_pad
         # blocked/coo materialize the gathered contribution then
@@ -205,11 +234,27 @@ def plan_statistics(
         psum_bytes = 0
         n_collectives = 1
 
+    # BCSR middle tier (probed estimates): tile store is HBM-resident;
+    # per mul it streams tiles + gathered panels + partial write/merge,
+    # and runs the tile FMAs on the MXU
+    bcsr_stream = bcsr_flops = bcsr_store = 0
+    if bcsr is not None and bcsr["n_tiles"]:
+        tr, tc = config.bcsr_tile, 128
+        slots, n_vb = bcsr["slots"], bcsr["n_vb"]
+        bcsr_store = slots * tr * tc * 2  # bf16 tiles
+        bcsr_stream = (
+            bcsr_store
+            + slots * tc * h_local * dtype_bytes
+            + 2 * n_vb * tr * h_local * dtype_bytes
+        )
+        bcsr_flops = 2 * slots * tr * tc * h_local
+
     # rough per-device HBM residency, for the hbm budget cap: sparse
-    # tables + core + x slice + output slice
+    # tables + core + tile store + x slice + output slice
     device_bytes = (
         nnz_dev * (4 + dtype_bytes)
         + core_bytes
+        + bcsr_store
         + (-(-csr.ncols // max(1, sp))) * h_local * dtype_bytes
         + out_rows_dev * h_local * dtype_bytes
     )
@@ -230,6 +275,10 @@ def plan_statistics(
                 config.hybrid_dtype, dtype_bytes))
             * (1.25 if config.hybrid_dtype == "int4" else 1.0)
         ),
+        # BCSR middle tier (sampled-probe estimates; 0 when off)
+        "bcsr_stream_bytes": bcsr_stream,
+        "bcsr_flops": bcsr_flops,
+        "bcsr_captured": 0 if bcsr is None else bcsr["captured_edges"],
         # dominant term: one dense row read per local nnz
         "gather_bytes": gather_bytes,
         # colind + vals streams and the output write
@@ -444,6 +493,43 @@ def autotune(
             "no feasible candidate (hbm_budget_bytes too small?)"
         )
     scored.sort(key=lambda s: s[2])
+
+    # ---- second stage: BCSR middle-tier variants of the best
+    # single-chip hybrid candidate (tile budget × ordering), priced by
+    # the sampled structure probe (tune/bcsr_probe.py). Hierarchical so
+    # the O(tail-sample) probe runs for ONE core size k, not for every
+    # (core budget, core dtype) combination in the base space.
+    base = next(
+        (
+            (p, d)
+            for p, d, _ in scored
+            if d.layout == "single"
+            and p.get("backend") == "hybrid"
+            and not p.get("bcsr_bytes")
+        ),
+        None,
+    )
+    if square and base is not None:
+        bp, bd = base
+        for order in ("rank", "lp"):
+            for bb in (1 << 30, 5 << 29):  # 1 GiB, 2.5 GiB tile store
+                point = {**bp, "bcsr_bytes": bb, "bcsr_order": order}
+                cfg = SpmmConfig(**point)
+                stats = plan_statistics(
+                    csr, hidden, cfg, plan=bd, dtype_bytes=dtype_bytes,
+                    _memo=memo,
+                )
+                if (
+                    hbm_budget_bytes is not None
+                    and stats["device_bytes"] > hbm_budget_bytes
+                ):
+                    continue
+                if stats["bcsr_captured"] == 0:
+                    continue  # no qualifying tiles — identical to base
+                scored.append(
+                    (point, bd, predict_spmm_time(stats, model))
+                )
+        scored.sort(key=lambda s: s[2])
 
     def _mkey(point, dist):
         return json.dumps(

@@ -93,6 +93,13 @@ def predict_spmm_time(stats: dict, model: Optional[TpuCostModel] = None) -> floa
         stats.get("core_bytes", 0) / (m.hbm_bw * m.stream_eff),
         stats.get("core_flops", 0) / m.mxu_bf16,
     )
+    # BCSR middle tier: tile/panel streams and MXU tile FMAs overlap —
+    # whichever roof binds (statistics from the sampled structure probe,
+    # tune/bcsr_probe.py)
+    t += max(
+        stats.get("bcsr_stream_bytes", 0) / (m.hbm_bw * m.stream_eff),
+        stats.get("bcsr_flops", 0) / m.mxu_bf16,
+    )
     t += stats["psum_bytes"] / m.ici_bw
     t += stats["n_dispatch"] * m.fixed_us * 1e-6
     return t

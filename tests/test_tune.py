@@ -417,6 +417,104 @@ class TestPhaseTimes:
         )
 
 
+class TestBcsrTuning:
+    """BCSR middle-tier pricing via the sampled structure probe
+    (tune/bcsr_probe.py) — makes the tile knobs tunable axes (the
+    round-2 roadmap gap: plan_statistics ignored bcsr_bytes because
+    tile capture depends on the ordering)."""
+
+    def _block_graph(self, rng, n=8192, blk=128, deg=16, shuffle=False):
+        # strong 128-node communities, EXACTLY regular degree (no hubs):
+        # the hub core covers little, community-aligned (Tr,128) tiles
+        # capture nearly everything, and the stable degree rank is the
+        # identity (ties) — unless `shuffle` relabels the nodes, which
+        # scrambles the rank ordering but not the lp-recoverable blocks
+        from pygim_tpu.core.graph import CooGraph
+
+        rows = np.repeat(np.arange(n), deg)
+        cols = (rows // blk) * blk + (
+            rows % blk + np.tile(np.arange(1, deg + 1), n)
+        ) % blk
+        if shuffle:
+            relabel = rng.permutation(n)
+            rows, cols = relabel[rows], relabel[cols]
+        return CooGraph.from_edges(rows, cols, nrows=n, ncols=n)
+
+    def test_probe_exact_matches_builder(self, rng):
+        """At stride 1 with the rank ordering, the probe's selection is
+        the builder's selection — captured edges and tile count match
+        build_bcsr_tiles exactly."""
+        from pygim_tpu.core.bcsr import build_bcsr_tiles
+        from pygim_tpu.tune.bcsr_probe import bcsr_statistics
+
+        coo = self._block_graph(rng, n=4096)
+        csr = coo.to_csr()
+        rank = np.arange(csr.nrows, dtype=np.int64)  # identity ordering
+        rows_of = np.repeat(
+            np.arange(csr.nrows, dtype=np.int64), np.diff(csr.rowptr)
+        )
+        budget, hidden = 4 << 20, 64
+        est = bcsr_statistics(
+            csr, rank, rows_of, 0, tile_rows=32, order="rank",
+            budget_bytes=budget, hidden=hidden,
+        )
+        bc, in_tile = build_bcsr_tiles(
+            rows_of.astype(np.int64), csr.colind.astype(np.int64),
+            csr.vals.astype(np.float32), rank,
+            n=csr.nrows, tile_rows=32, budget_bytes=budget, hidden=hidden,
+        )
+        assert est["captured_edges"] == bc.n_edges == int(in_tile.sum())
+        assert est["n_vb"] * bc.tiles_per_vblock == est["slots"]
+        assert est["slots"] == bc.tiles.shape[0] * bc.tiles.shape[1]
+
+    def test_plan_statistics_bcsr_reduces_tail(self, rng):
+        coo = self._block_graph(rng)
+        csr = coo.to_csr()
+        base = SpmmConfig(backend="hybrid", hybrid_k=256)
+        tier = SpmmConfig(
+            backend="hybrid", hybrid_k=256, bcsr_bytes=64 << 20
+        )
+        s0 = plan_statistics(csr, 256, base)
+        s1 = plan_statistics(csr, 256, tier)
+        assert s1["bcsr_captured"] > 0
+        assert s1["bcsr_stream_bytes"] > 0 and s1["bcsr_flops"] > 0
+        assert s1["gather_bytes"] < 0.5 * s0["gather_bytes"]
+        assert s1["device_bytes"] > s0["device_bytes"]
+        # and the captured tier is predicted faster than the raw tail
+        m = TpuCostModel.default()
+        assert predict_spmm_time(s1, m) < predict_spmm_time(s0, m)
+
+    def test_autotune_extends_hybrid_with_bcsr(self, rng, tmp_path,
+                                               monkeypatch):
+        """Stage two extends the best single-chip hybrid candidate with
+        tile-budget × ordering variants; on a label-shuffled community
+        graph the lp ordering recovers the blocks the rank ordering
+        scrambles, and a BCSR variant wins outright."""
+        monkeypatch.setenv("PYGIM_TPU_TUNE_CACHE", str(tmp_path))
+        from pygim_tpu.tune import For
+
+        coo = self._block_graph(rng, shuffle=True)
+        space = (
+            For("backend", ["ell", "hybrid"])
+            * For("hybrid_k", [256])
+            * For("balance", ["nnz"])
+        )
+        res = autotune(
+            coo, hidden=256, space=space, layouts=("single",),
+            use_cache=False,
+        )
+        assert res.config.bcsr_bytes > 0
+        assert res.config.bcsr_order == "lp"
+        bcsr_best = {}
+        for p, _, t, _ in res.candidates:
+            if p.get("bcsr_bytes"):
+                o = p["bcsr_order"]
+                bcsr_best[o] = min(t, bcsr_best.get(o, np.inf))
+        # rank-ordered tiles over shuffled labels catch ~nothing and are
+        # dropped at the capture guard (or priced slower if any survive)
+        assert bcsr_best["lp"] < bcsr_best.get("rank", np.inf)
+
+
 def test_autotune_default_space_covers_hybrid_knobs(rng, tmp_path, monkeypatch):
     """space=None searches the hybrid knob axes (core budget × dtype) in
     addition to the backend/balance/block axes — the measured dominant
