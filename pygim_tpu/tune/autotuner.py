@@ -207,7 +207,9 @@ def plan_statistics(
 
     # ---- collective volume per device (rides ICI) ----
     n_collectives = 1
+    collective = None
     if plan.layout == "2d" and sp > 1:
+        collective = "psum"
         merge_rows = csr.nrows * h_local * dtype_bytes
         frac = (sp - 1) / sp
         # psum ≈ reduce-scatter + all-gather; scatter_output keeps only
@@ -230,6 +232,7 @@ def plan_statistics(
         }[plan.exchange]
         psum_bytes = rows * hidden * dtype_bytes
         n_collectives = sp - 1 if plan.exchange == "ring" else 1
+        collective = plan.exchange
     else:
         psum_bytes = 0
         n_collectives = 1
@@ -283,8 +286,11 @@ def plan_statistics(
         "gather_bytes": gather_bytes,
         # colind + vals streams and the output write
         "stream_bytes": stream_bytes,
-        # collective volume (replaces host memadd merge_rows)
+        # collective volume (replaces host memadd merge_rows) + which
+        # collective carries it (keys the measured per-topology
+        # constants, cost_model.measure_ici_constants)
         "psum_bytes": psum_bytes,
+        "collective": collective,
         "device_bytes": device_bytes,
         "max_nnz_per_block": int(nnz_per_block.max(initial=0)),
         "mean_nnz_per_block": float(nnz_per_block.mean()) if nb else 0.0,
@@ -449,7 +455,13 @@ def autotune(
                 pass
 
     if mode == "measure" and model is None:
-        model = TpuCostModel.measured()
+        # multi-device budgets also calibrate per-collective ICI
+        # constants for this topology (cached per platform × count)
+        model = (
+            TpuCostModel.for_topology(n_devices)
+            if n_devices > 1
+            else TpuCostModel.measured()
+        )
 
     dists = enumerate_dist(n_devices, layouts)
     square = csr.nrows == csr.ncols

@@ -53,6 +53,11 @@ class TpuCostModel:
     fixed_us: float
     # default keeps pre-existing cached tpu_constants.json loadable
     mxu_bf16: float = _DEFAULTS["mxu_bf16"]
+    # measured per-collective constants for one mesh topology:
+    # {name: {"bw": bytes/s, "fixed_us": µs}} with name ∈
+    # {"psum", "all_gather", "all_to_all", "ring"}. None = price every
+    # collective at the datasheet ici_bw (the pre-calibration behavior).
+    coll: Optional[dict] = None
 
     @classmethod
     def default(cls) -> "TpuCostModel":
@@ -75,6 +80,21 @@ class TpuCostModel:
             return measure_constants(save=True)
         except Exception:
             return cls(**_DEFAULTS)
+
+    @classmethod
+    def for_topology(cls, n_devices: int) -> "TpuCostModel":
+        """Measured model + per-collective constants for the current
+        mesh topology (cached per platform × device count). Falls back
+        to the plain measured model when the mesh microbenchmark is
+        unavailable."""
+        base = cls.measured()
+        if n_devices <= 1:
+            return base
+        try:
+            coll = measure_ici_constants(n_devices, save=True)
+        except Exception:
+            return base
+        return dataclasses.replace(base, coll=coll)
 
 
 def predict_spmm_time(stats: dict, model: Optional[TpuCostModel] = None) -> float:
@@ -100,8 +120,18 @@ def predict_spmm_time(stats: dict, model: Optional[TpuCostModel] = None) -> floa
         stats.get("bcsr_stream_bytes", 0) / (m.hbm_bw * m.stream_eff),
         stats.get("bcsr_flops", 0) / m.mxu_bf16,
     )
-    t += stats["psum_bytes"] / m.ici_bw
-    t += stats["n_dispatch"] * m.fixed_us * 1e-6
+    # collective volume: measured per-collective constants for this
+    # topology when available (measure_ici_constants), else the
+    # datasheet ici_bw with the generic dispatch overhead
+    cname = stats.get("collective")
+    cinfo = (m.coll or {}).get(cname) if cname else None
+    if cinfo is not None:
+        t += stats["psum_bytes"] / max(1.0, cinfo["bw"])
+        t += stats["n_dispatch"] * cinfo["fixed_us"] * 1e-6
+        t += m.fixed_us * 1e-6  # the compute dispatch itself
+    else:
+        t += stats["psum_bytes"] / m.ici_bw
+        t += stats["n_dispatch"] * m.fixed_us * 1e-6
     return t
 
 
@@ -148,6 +178,121 @@ def calibrate_from_phases(
         _CACHE.parent.mkdir(parents=True, exist_ok=True)
         _CACHE.write_text(json.dumps(dataclasses.asdict(model)))
     return model
+
+
+def _ici_cache_path(platform: str, nd: int) -> Path:
+    return _CACHE.parent / f"ici-{platform}-n{nd}.json"
+
+
+def measure_ici_constants(
+    n_devices: Optional[int] = None,
+    save: bool = True,
+    rows: int = 4096,
+    h: int = 256,
+) -> dict:
+    """Per-collective (bw, fixed_us) for the current mesh topology,
+    measured with a two-point fit (small payload → fixed overhead,
+    large payload → bandwidth), in the same volume units
+    :func:`pygim_tpu.tune.autotuner.plan_statistics` reports:
+
+    * ``psum``       — per-device volume = bytes × (nd−1)/nd × 2
+    * ``all_gather`` — received rows = everything but the own shard
+    * ``all_to_all`` — the whole (nd·K, H) exchange buffer
+    * ``ring``       — one collective-permute shift (the model charges
+      ``n_dispatch = nd−1`` of them)
+
+    Persisted per (platform, device count) — the reference keyed its
+    bandwidth tables per block size (utils/autotuner.py:24-39); an ICI
+    mesh needs them per topology instead. On a CPU virtual mesh the
+    numbers calibrate the VIRTUAL backend (useful for relative choices
+    in tests); real-mesh runs overwrite the honest values.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from pygim_tpu.utils.timers import device_time
+
+    devs = jax.devices()
+    nd = n_devices or len(devs)
+    if nd > len(devs):
+        raise ValueError(f"{nd} devices requested, {len(devs)} available")
+    devs = devs[:nd]
+    platform = devs[0].platform
+    path = _ici_cache_path(platform, nd)
+    if save and path.exists():
+        try:
+            return json.loads(path.read_text())
+        except Exception:
+            pass
+
+    mesh = Mesh(np.array(devs), ("sp",))
+    # check_vma=False: the replicated-output check can't be statically
+    # inferred for these micro-bodies (psum/all_gather ARE replicated)
+    sm = functools.partial(shard_map, mesh=mesh, check_rep=False)
+
+    def timed(fn, in_spec, out_spec, shape):
+        x = jnp.ones(shape, dtype=jnp.float32)
+        f = jax.jit(sm(fn, in_specs=in_spec, out_specs=out_spec))
+        return device_time(f, x, iters=5)
+
+    frac = (nd - 1) / nd
+    out: dict = {}
+    # (name, body, in_spec, out_spec, global_shape(r), volume(r))
+    cases = [
+        (
+            "psum",
+            lambda x: jax.lax.psum(x, "sp"),
+            P("sp"), P(),
+            lambda r: (nd * r, h),
+            lambda r: r * h * 4 * frac * 2,
+        ),
+        (
+            "all_gather",
+            lambda x: jax.lax.all_gather(x, "sp", tiled=True),
+            P("sp"), P(),
+            lambda r: (nd * r, h),
+            lambda r: (nd - 1) * r * h * 4,
+        ),
+        (
+            "all_to_all",
+            lambda x: jax.lax.all_to_all(
+                x, "sp", split_axis=0, concat_axis=0, tiled=True
+            ),
+            P("sp"), P("sp"),
+            lambda r: (nd * nd * r, h),
+            lambda r: nd * r * h * 4,
+        ),
+        (
+            "ring",
+            lambda x: jax.lax.ppermute(
+                x, "sp", [(i, (i + 1) % nd) for i in range(nd)]
+            ),
+            P("sp"), P("sp"),
+            lambda r: (nd * r, h),
+            lambda r: r * h * 4,
+        ),
+    ]
+    for name, body, ispec, ospec, shape, vol in cases:
+        r_small, r_big = 8, rows
+        t1 = timed(body, ispec, ospec, shape(r_small))
+        t2 = timed(body, ispec, ospec, shape(r_big))
+        v1, v2 = vol(r_small), vol(r_big)
+        if t2 > t1:
+            bw = (v2 - v1) / (t2 - t1)
+            fixed = max(0.0, t1 - v1 / bw)
+        else:  # degenerate (overhead-dominated at both sizes)
+            bw = v2 / max(1e-9, t2)
+            fixed = 0.0
+        out[name] = {"bw": float(bw), "fixed_us": float(fixed * 1e6)}
+    if save:
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(json.dumps(out))
+    return out
 
 
 def measure_constants(

@@ -333,6 +333,8 @@ class TestDistTuning:
             cm, "measure_constants",
             lambda save=True, **kw: cm.TpuCostModel(**cm._DEFAULTS),
         )
+        # keep the per-topology ICI calibration out of the user cache
+        monkeypatch.setattr(cm, "_CACHE", tmp_path / "tpu_constants.json")
         coo = self._block_diag(rng, n=256, nd=4)
         res = autotune(
             coo, hidden=8, n_devices=4, use_cache=False, mode="measure",
@@ -414,6 +416,50 @@ class TestPhaseTimes:
         meas_ms = ph["tail_time(ms)"]
         assert pred_ms < 2 * meas_ms and pred_ms > meas_ms / 2, (
             pred_ms, meas_ms,
+        )
+
+
+class TestIciConstants:
+    """Measured per-topology collective constants
+    (cost_model.measure_ici_constants) — the multi-chip analog of the
+    reference's per-block-size DPU↔host bandwidth tables
+    (utils/autotuner.py:24-39, keyed per topology instead)."""
+
+    def test_measure_persist_roundtrip(self, tmp_path, monkeypatch):
+        import pygim_tpu.tune.cost_model as cm
+
+        monkeypatch.setattr(cm, "_CACHE", tmp_path / "tpu_constants.json")
+        coll = cm.measure_ici_constants(8)
+        assert set(coll) == {"psum", "all_gather", "all_to_all", "ring"}
+        for v in coll.values():
+            assert v["bw"] > 0 and v["fixed_us"] >= 0
+        # persisted per (platform, device count); second call is a hit
+        assert (tmp_path / "ici-cpu-n8.json").exists()
+        assert cm.measure_ici_constants(8) == coll
+        m = cm.TpuCostModel.for_topology(8)
+        assert m.coll == coll
+
+    def test_predict_uses_collective_constants(self):
+        import dataclasses
+
+        from pygim_tpu.tune.cost_model import _DEFAULTS
+
+        base = TpuCostModel(**_DEFAULTS)
+        stats = dict(
+            gather_bytes=0, stream_bytes=0, psum_bytes=1 << 30,
+            n_dispatch=1, collective="all_gather",
+        )
+        slow = dataclasses.replace(
+            base, coll={"all_gather": {"bw": 1e9, "fixed_us": 0.0}}
+        )
+        fast = dataclasses.replace(
+            base, coll={"all_gather": {"bw": 1e12, "fixed_us": 0.0}}
+        )
+        assert predict_spmm_time(stats, slow) > predict_spmm_time(stats, fast)
+        # a collective without measured constants falls back to ici_bw
+        other = dict(stats, collective="ring")
+        assert predict_spmm_time(other, slow) == predict_spmm_time(
+            other, base
         )
 
 
