@@ -107,15 +107,26 @@ def build_bcsr_tiles(
     hidden: int,
     dtype: str = "bfloat16",
     min_edges: int = 0,
+    col_order: "np.ndarray | None" = None,
+    n_cols: "int | None" = None,
 ) -> tuple["BcsrTiles | None", np.ndarray]:
     """Select + materialize tiles from edges given in RANK coordinates.
 
     ``rr``/``cc``: degree-rank of each edge's destination/source node;
     ``order``: rank → original node id. Returns ``(tiles, in_tile_mask)``
     — ``tiles`` is None when no tile qualifies.
+
+    ``col_order``/``n_cols``: optional SEPARATE rank space for the
+    column (panel) dimension — the 2D mesh path ranks each x-shard's
+    own nodes so panels never gather rows the shard doesn't hold
+    (parallel/spmm_2d.py); default = the shared row space.
     """
     import ml_dtypes
 
+    if col_order is None:
+        col_order = order
+    if n_cols is None:
+        n_cols = n
     itemsize = 2 if dtype == "bfloat16" else 4
     if budget_bytes <= 0 or rr.size == 0:
         return None, np.zeros(rr.shape[0], dtype=bool)
@@ -123,7 +134,7 @@ def build_bcsr_tiles(
     if min_edges <= 0:
         min_edges = min_edges_per_tile(tr, hidden, itemsize)
 
-    ncb = -(-n // tc)
+    ncb = -(-n_cols // tc)
     tid = (rr.astype(np.int64) // tr) * ncb + cc.astype(np.int64) // tc
     utid, inv, counts = np.unique(tid, return_inverse=True, return_counts=True)
 
@@ -165,7 +176,9 @@ def build_bcsr_tiles(
     panel_ranks = (
         ucb[:, None] * tc + np.arange(tc, dtype=np.int64)[None, :]
     ).reshape(-1)
-    panel_nodes = order[np.minimum(panel_ranks, n - 1)].astype(INDEX_DTYPE)
+    panel_nodes = col_order[
+        np.minimum(panel_ranks, n_cols - 1)
+    ].astype(INDEX_DTYPE)
 
     row_ranks = (
         urb[:, None] * tr + np.arange(tr, dtype=np.int64)[None, :]
@@ -204,6 +217,64 @@ def build_bcsr_tiles(
         ),
         in_tile,
     )
+
+
+def tail_tile_order(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    order: np.ndarray,
+    rank: np.ndarray,
+    k: int,
+    n: int,
+    method: str,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Re-rank the non-core band by the tail subgraph's structure.
+
+    ``rows``/``cols``: the tail edges in ORIGINAL node ids. Returns
+    ``(t_order, t_rank)`` — copies of (order, rank) with ranks ``k..``
+    permuted by reverse Cuthill-McKee (``"rcm"``, bandwidth-shaped) or
+    label propagation (``"lp"``, community-shaped) of the both-tail
+    subgraph. Measured capture numbers in docs/PERF.md ("Tile ordering
+    on latent-community graphs"). Shared by the single-chip prepare
+    (ops/spmm.py) and the 2D mesh tier (parallel/spmm_2d.py).
+    """
+    import scipy.sparse as sp
+
+    tail_nodes = np.sort(order[k:])
+    pos = np.full(n, -1, dtype=np.int64)
+    pos[tail_nodes] = np.arange(n - k)
+    mm = (pos[rows] >= 0) & (pos[cols] >= 0)
+    if method == "rcm":
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+        sub = sp.csr_matrix(
+            (
+                np.ones(int(mm.sum()), np.int8),
+                (pos[rows[mm]], pos[cols[mm]]),
+            ),
+            shape=(n - k, n - k),
+        )
+        perm = np.asarray(reverse_cuthill_mckee(sub, symmetric_mode=False))
+    else:
+        from pygim_tpu.core.cluster import locality_order
+        from pygim_tpu.core.graph import CooGraph
+
+        perm = locality_order(
+            CooGraph(
+                rows=pos[rows[mm]].astype(np.int32),
+                cols=pos[cols[mm]].astype(np.int32),
+                vals=np.ones(int(mm.sum()), np.float32),
+                nrows=n - k,
+                ncols=n - k,
+            ),
+            "lp",
+        )
+    t_order = np.concatenate([order[:k], tail_nodes[perm]]).astype(
+        order.dtype
+    )
+    t_rank = np.empty(n, dtype=rank.dtype)
+    t_rank[t_order] = np.arange(n, dtype=rank.dtype)
+    return t_order, t_rank
 
 
 def panel_tile_cutoffs(

@@ -858,44 +858,12 @@ class PreparedSpmm:
             # (docs/PERF.md)
             t_order, t_rank = order, rank
             if config.bcsr_order in ("rcm", "lp") and k < n:
-                import scipy.sparse as sp
+                from pygim_tpu.core.bcsr import tail_tile_order
 
-                tail_nodes = np.sort(order[k:])
-                pos = np.full(n, -1, dtype=np.int64)
-                pos[tail_nodes] = np.arange(n - k)
-                rr0, cc0 = coo.rows[t_idx], coo.cols[t_idx]
-                mm = (pos[rr0] >= 0) & (pos[cc0] >= 0)
-                if config.bcsr_order == "rcm":
-                    from scipy.sparse.csgraph import reverse_cuthill_mckee
-
-                    sub = sp.csr_matrix(
-                        (
-                            np.ones(int(mm.sum()), np.int8),
-                            (pos[rr0[mm]], pos[cc0[mm]]),
-                        ),
-                        shape=(n - k, n - k),
-                    )
-                    perm = np.asarray(
-                        reverse_cuthill_mckee(sub, symmetric_mode=False)
-                    )
-                else:
-                    from pygim_tpu.core.cluster import locality_order
-                    from pygim_tpu.core.graph import CooGraph as _Coo
-
-                    perm = locality_order(
-                        _Coo(
-                            rows=pos[rr0[mm]].astype(np.int32),
-                            cols=pos[cc0[mm]].astype(np.int32),
-                            vals=np.ones(int(mm.sum()), np.float32),
-                            nrows=n - k, ncols=n - k,
-                        ),
-                        "lp",
-                    )
-                t_order = np.concatenate(
-                    [order[:k], tail_nodes[perm]]
-                ).astype(order.dtype)
-                t_rank = np.empty(n, dtype=rank.dtype)
-                t_rank[t_order] = np.arange(n, dtype=rank.dtype)
+                t_order, t_rank = tail_tile_order(
+                    coo.rows[t_idx], coo.cols[t_idx], order, rank, k, n,
+                    config.bcsr_order,
+                )
             bkw = dict(
                 n=n, tile_rows=config.bcsr_tile,
                 budget_bytes=config.bcsr_bytes,

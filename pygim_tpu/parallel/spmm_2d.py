@@ -75,10 +75,13 @@ class PreparedSpmm2D:
         # so core memory scales down with sp and the existing psum merges
         # core and tail contributions together.
         self.hybrid_k_eff = 0
+        self.has_bcsr = False
         if config.backend == "hybrid":
             if csr.nrows != csr.ncols:
                 raise ValueError("hybrid backend requires square adjacency")
             self._plan_core_2d(csr, parts, config)
+            if config.bcsr_bytes > 0:
+                self._plan_bcsr_2d(csr, parts, config)
 
         # per-shard fixed-degree ELL tables (the ell backend's formulation,
         # the fastest gather-engine path measured — docs/PERF.md), with one
@@ -235,6 +238,141 @@ class PreparedSpmm2D:
                 order[:k], NamedSharding(self.mesh, P())
             ),
         }
+        self._rank, self._order = rank, order
+
+    def _plan_bcsr_2d(self, csr, parts, config: SpmmConfig):
+        """BCSR middle tier over the mesh (core/bcsr.py, sharded form).
+
+        Rows keep the GLOBAL tile rank (partials scatter into the
+        pre-psum (nrows, h) carry), but the panel (column) dimension is
+        ranked PER SHARD — each x-shard's own nodes ordered by the tile
+        rank — so a (128, H) panel gather only touches rows the shard
+        holds. ``bcsr_bytes`` is the per-device tile budget, matching
+        ``hybrid_core_bytes``'s per-device semantics. Captured edges are
+        stripped from the ELL tail parts in place.
+        """
+        from pygim_tpu.core.bcsr import (
+            TILE_COLS,
+            build_bcsr_tiles,
+            tail_tile_order,
+        )
+
+        n, sp = csr.nrows, self.sp
+        w = self.ncols_pad // sp
+        k = self.hybrid_k_eff
+        rank, order = self._rank, self._order
+        core_dtype = config.hybrid_dtype or "float32"
+        bdt = (
+            "bfloat16" if core_dtype in ("bfloat16", "int8") else "float32"
+        )
+
+        part_edges = []
+        for s, p in enumerate(parts):
+            rows_of = np.repeat(
+                np.arange(p.nrows, dtype=np.int64), np.diff(p.rowptr)
+            )
+            part_edges.append(
+                (rows_of, p.colind.astype(np.int64) + s * w, p.vals)
+            )
+        t_order, t_rank = order.astype(np.int64), rank
+        if config.bcsr_order in ("rcm", "lp") and k < n:
+            t_order, t_rank = tail_tile_order(
+                np.concatenate([e[0] for e in part_edges]),
+                np.concatenate([e[1] for e in part_edges]),
+                t_order, rank, k, n, config.bcsr_order,
+            )
+
+        tr, tc = config.bcsr_tile, TILE_COLS
+        bcs, captured = [], 0
+        for s, p in enumerate(parts):
+            rows_of, cols_g, vals = part_edges[s]
+            lo, hi = s * w, min(n, s * w + w)
+            n_s = max(1, hi - lo)
+            loc_nodes = np.arange(lo, max(lo, hi), dtype=np.int64)
+            loc_sorted = loc_nodes[
+                np.argsort(t_rank[loc_nodes], kind="stable")
+            ]
+            col_rank_of = np.zeros(n_s, dtype=np.int64)
+            col_rank_of[loc_sorted - lo] = np.arange(loc_sorted.size)
+            bc, in_tile = build_bcsr_tiles(
+                t_rank[rows_of],
+                col_rank_of[np.minimum(cols_g - lo, n_s - 1)],
+                vals,
+                t_order,
+                n=n,
+                tile_rows=tr,
+                budget_bytes=config.bcsr_bytes,
+                hidden=config.hidden_hint,
+                dtype=bdt,
+                min_edges=config.bcsr_min_edges,
+                col_order=loc_sorted,
+                n_cols=n_s,
+            )
+            if bc is not None:
+                keep = ~in_tile
+                counts = np.bincount(rows_of[keep], minlength=p.nrows)
+                rowptr = np.zeros(p.nrows + 1, dtype=np.int32)
+                np.cumsum(counts, out=rowptr[1:])
+                parts[s] = CsrGraph(
+                    rowptr=rowptr, colind=p.colind[keep],
+                    vals=p.vals[keep], ncols=p.ncols,
+                )
+                captured += bc.n_edges
+            bcs.append(bc)
+        if captured == 0:
+            return
+
+        # ---- pad per-shard tables to one static shape ----
+        s_max = max(bc.tiles_per_vblock for bc in bcs if bc is not None)
+        step = max(1, (8 << 20) // max(
+            1, s_max * tc * config.hidden_hint * 4
+        ))
+        n_vb_max = max(
+            (bc.tiles.shape[0] for bc in bcs if bc is not None), default=1
+        )
+        step = min(step, n_vb_max)
+        n_vb_pad = round_up(n_vb_max, step)
+        np_max = max(
+            (bc.panel_nodes.shape[0] for bc in bcs if bc is not None),
+            default=tc,
+        )
+        nr_max = max(
+            (bc.row_nodes.shape[0] for bc in bcs if bc is not None),
+            default=tr,
+        )
+        np_tiles = np.zeros(
+            (sp, n_vb_pad, s_max, tr, tc),
+            dtype=next(b for b in bcs if b is not None).tiles.dtype,
+        )
+        np_pidx = np.zeros((sp, n_vb_pad, s_max), dtype=np.int32)
+        np_vb2rb = np.zeros((sp, n_vb_pad), dtype=np.int32)
+        np_pnodes = np.zeros((sp, np_max), dtype=np.int32)
+        np_rnodes = np.full((sp, nr_max), n - 1, dtype=np.int32)
+        for s, bc in enumerate(bcs):
+            if bc is None:
+                continue
+            nv, sv = bc.tiles.shape[0], bc.tiles_per_vblock
+            np_tiles[s, :nv, :sv] = bc.tiles
+            np_pidx[s, :nv, :sv] = bc.panel_idx
+            n_rb = bc.row_nodes.shape[0] // tr
+            np_vb2rb[s] = n_rb - 1  # padded vblocks target the last rb
+            np_vb2rb[s, :nv] = bc.vblock_to_rb
+            # panel gathers index the SHARD-LOCAL x block
+            np_pnodes[s, : bc.panel_nodes.shape[0]] = (
+                bc.panel_nodes - s * w
+            )
+            np_rnodes[s, : bc.row_nodes.shape[0]] = bc.row_nodes
+        sharded = NamedSharding(self.mesh, P("sp"))
+        self._bcsr_dev = {
+            "tiles": jax.device_put(np_tiles, sharded),
+            "panel_idx": jax.device_put(np_pidx, sharded),
+            "vblock_to_rb": jax.device_put(np_vb2rb, sharded),
+            "panel_nodes": jax.device_put(np_pnodes, sharded),
+            "row_nodes": jax.device_put(np_rnodes, sharded),
+        }
+        self.has_bcsr = True
+        self.bcsr_step = step
+        self.bcsr_edges = captured
 
     def _build_run(self):
         mesh = self.mesh
@@ -246,20 +384,38 @@ class PreparedSpmm2D:
         self.nrows_pad = round_up(self.nrows, sp) if scatter else self.nrows
         nrows = self.nrows_pad
 
+        has_bcsr = self.has_bcsr
+        b_step = self.bcsr_step if has_bcsr else 0
+
         def mk_local_fn(merge: bool):
-            def local_fn(cols2d, vals2d, vrow_to_row, x_local, *core_args):
+            def local_fn(cols2d, vals2d, vrow_to_row, x_local, *rest):
                 # leading sp dim arrives as size-1 block; squeeze it
                 out = ell_scan_spmm(
                     x_local, cols2d[0], vals2d[0], vrow_to_row[0],
                     chunk, degree, nrows,
                 )
                 if hybrid:
-                    core, core_rows, core_nodes = core_args
+                    core, core_rows, core_nodes = rest[:3]
                     co = _core_matmul(
                         core[0], jnp.take(x_local, core_rows[0], axis=0),
                         jnp.float32,
                     )
                     out = out.at[core_nodes].add(co.astype(out.dtype))
+                if has_bcsr:
+                    from pygim_tpu.ops.spmm import bcsr_scan_spmm
+
+                    tiles_, pidx, vb2rb, pnodes, rnodes = rest[3:8]
+                    # wide integer payloads exceed bf16's exact range
+                    # (same choice as the single-chip run builder)
+                    wide = (
+                        jnp.issubdtype(x_local.dtype, jnp.integer)
+                        and x_local.dtype != jnp.int8
+                    )
+                    out = bcsr_scan_spmm(
+                        x_local, pnodes[0], tiles_[0], pidx[0],
+                        vb2rb[0], rnodes[0], out, b_step,
+                        compute_dtype=jnp.float32 if wide else None,
+                    )
                 if not merge:
                     return out  # per-shard partial (phase timing only)
                 if scatter:
@@ -274,6 +430,8 @@ class PreparedSpmm2D:
         in_specs = [P("sp"), P("sp"), P("sp"), P("sp", "ds")]
         if hybrid:
             in_specs += [P("sp"), P("sp"), P()]
+        if has_bcsr:
+            in_specs += [P("sp")] * 5
         shard_fn = jax.shard_map(
             mk_local_fn(True),
             mesh=mesh,
@@ -302,6 +460,12 @@ class PreparedSpmm2D:
                 args = [dev["cols2d"], dev["vals2d"], dev["vrow_to_row"], xp]
                 if hybrid:
                     args += [dev["core"], dev["core_rows"], dev["core_nodes"]]
+                if has_bcsr:
+                    args += [
+                        dev["tiles"], dev["panel_idx"],
+                        dev["vblock_to_rb"], dev["panel_nodes"],
+                        dev["row_nodes"],
+                    ]
                 out = fn(*args)
                 if trim_rows:
                     out = out[: self.nrows]
@@ -320,9 +484,12 @@ class PreparedSpmm2D:
         use :meth:`raw_mul` inside, exactly like the single-chip
         ``PreparedSpmm`` (closing over ``.mul`` would bake the tables in
         as HLO constants)."""
+        out = dict(self._dev)
         if self.hybrid_k_eff > 0:
-            return {**self._dev, **self._core_dev}
-        return dict(self._dev)
+            out.update(self._core_dev)
+        if self.has_bcsr:
+            out.update(self._bcsr_dev)
+        return out
 
     def raw_mul(self, x, dev: dict):
         """Unjitted product for composition inside caller jits — the

@@ -253,3 +253,110 @@ def test_2d_hybrid_integer_cores(rng, core_dtype):
         np.asarray(prep.mul(jnp.asarray(x))), _dense_ref(coo, x),
         rtol=3e-2, atol=1e-1,  # float payload rides bf16 through the core
     )
+
+
+def _community_coo(rng, n=512, blk=128, deg=12, shuffle=False):
+    """Block-community graph (see tests/test_tune.py::TestBcsrTuning)."""
+    from pygim_tpu.core.graph import CooGraph
+
+    rows = np.repeat(np.arange(n), deg)
+    cols = (rows // blk) * blk + rng.integers(0, blk, rows.size)
+    if shuffle:
+        relabel = rng.permutation(n)
+        rows, cols = relabel[rows], relabel[cols]
+    return CooGraph.from_edges(
+        rows, cols, rng.standard_normal(rows.size), nrows=n, ncols=n
+    )
+
+
+@pytest.mark.parametrize("sp,ds", [(2, 2), (4, 2)])
+def test_2d_bcsr_matches_dense(rng, sp, ds):
+    """BCSR middle tier over the mesh: per-shard column ranking keeps
+    panel gathers inside the owning x-shard; captured edges leave the
+    ELL tail; partials merge through the same psum."""
+    coo = _community_coo(rng)
+    x = rng.standard_normal((coo.nrows, 24)).astype(np.float32)
+    prep = prepare_spmm_2d(
+        coo, make_mesh(sp, ds),
+        SpmmConfig(
+            backend="hybrid", hybrid_k=32, bcsr_bytes=8 << 20,
+            bcsr_tile=8, bcsr_min_edges=2,
+        ),
+    )
+    assert prep.has_bcsr and prep.bcsr_edges > 0
+    np.testing.assert_allclose(
+        np.asarray(prep.mul(jnp.asarray(x))), _dense_ref(coo, x),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_2d_bcsr_lp_order(rng):
+    """The lp tile ordering works on the mesh: the global tail reorder
+    feeds per-shard column rankings (tail_tile_order shared with the
+    single-chip prepare)."""
+    coo = _community_coo(rng, shuffle=True)
+    x = rng.standard_normal((coo.nrows, 16)).astype(np.float32)
+    prep = prepare_spmm_2d(
+        coo, make_mesh(4, 1),
+        SpmmConfig(
+            backend="hybrid", hybrid_k=32, bcsr_bytes=8 << 20,
+            bcsr_tile=8, bcsr_min_edges=2, bcsr_order="lp",
+        ),
+    )
+    assert prep.has_bcsr
+    np.testing.assert_allclose(
+        np.asarray(prep.mul(jnp.asarray(x))), _dense_ref(coo, x),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_2d_bcsr_tileless_shards(rng):
+    """Shards whose columns hold no qualifying tile get zero-padded dummy
+    tables and contribute nothing through the tier."""
+    from pygim_tpu.core.graph import CooGraph
+
+    n = 512
+    # dense community in shard 0's column range only + uniform noise
+    dr = rng.integers(0, 64, 6000)
+    dc = rng.integers(0, 64, 6000)
+    tr_ = rng.integers(0, n, 800)
+    tc_ = rng.integers(0, n, 800)
+    coo = CooGraph.from_edges(
+        np.concatenate([dr, tr_]), np.concatenate([dc, tc_]),
+        rng.standard_normal(6800), nrows=n, ncols=n,
+    )
+    x = rng.standard_normal((n, 16)).astype(np.float32)
+    prep = prepare_spmm_2d(
+        coo, make_mesh(4, 2),
+        SpmmConfig(
+            backend="hybrid", hybrid_k=8, bcsr_bytes=8 << 20,
+            bcsr_tile=8, bcsr_min_edges=24,
+        ),
+    )
+    assert prep.has_bcsr
+    np.testing.assert_allclose(
+        np.asarray(prep.mul(jnp.asarray(x))), _dense_ref(coo, x),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_2d_bcsr_wide_int_exact(rng):
+    """Integer payloads through the mesh tier stay exact (f32 compute
+    for wide quantized x, matching the single-chip run builder)."""
+    coo = _community_coo(rng)
+    import dataclasses
+
+    coo = dataclasses.replace(
+        coo, vals=rng.integers(-3, 4, coo.nnz).astype(np.float32)
+    )
+    x = rng.integers(-5, 6, size=(coo.nrows, 16)).astype(np.int32)
+    prep = prepare_spmm_2d(
+        coo, make_mesh(2, 2),
+        SpmmConfig(
+            backend="hybrid", hybrid_k=32, bcsr_bytes=8 << 20,
+            bcsr_tile=8, bcsr_min_edges=2,
+        ),
+    )
+    assert prep.has_bcsr
+    out = np.asarray(prep.mul(jnp.asarray(x)))
+    np.testing.assert_array_equal(out, _dense_ref(coo, x))
