@@ -18,6 +18,14 @@ Two exchange strategies, selectable per graph (an autotuner axis):
   exactly the needed dense slice (dpu_prepare_xfer, spmm_mul_csr.c:277-329)
   — and the generalization of its host-side merge to ICI collectives.
 
+* ``ring`` — nd−1 collective-permute shifts with per-shift buffer sizes
+  (no global-max padding inflation).
+
+The hybrid backend adds a row-sharded dense hub-core on top of any
+exchange: device-local (kp, nd·kp) slabs multiply an all_gathered hub
+feature buffer on the MXU, and core edges leave the tail (and its halo
+requests) at prepare.
+
 All index plumbing is precomputed on host at prepare time (prepare-once /
 run-many, SURVEY.md §1 invariant).
 """
@@ -38,7 +46,7 @@ from pygim_tpu.core.partition import (
     choose_ell_degree,
     round_up,
 )
-from pygim_tpu.ops.spmm import SpmmConfig, ell_scan_spmm
+from pygim_tpu.ops.spmm import SpmmConfig, _core_matmul, ell_scan_spmm
 
 
 def make_node_mesh(n_devices: int, devices=None) -> Mesh:
@@ -87,6 +95,21 @@ class PreparedSpmmHalo:
         self.n_pad = round_up(csr.nrows, nd)
         self.rows_per_dev = self.n_pad // nd
 
+        # distributed hybrid hub-core (the single-chip measured winner on
+        # power-law graphs — docs/PERF.md): each device keeps a dense
+        # slab of its OWN hub rows × all k hub columns; core edges leave
+        # the tail BEFORE the exchange is planned, so halo requests
+        # shrink too. Stripping returns the tail csr.
+        self.hybrid_k_eff = 0
+        self._core_dev = {}
+        if config.backend == "hybrid":
+            if config.bcsr_bytes > 0:
+                raise ValueError(
+                    "the BCSR tile tier is not supported on the halo "
+                    "layout (use the 2d mesh or single-chip path)"
+                )
+            csr = self._plan_core_halo(csr, config)
+
         # --- host-side partition: rows (and x rows) by contiguous range ---
         parts: list[CsrGraph] = []
         bounds = [
@@ -118,6 +141,7 @@ class PreparedSpmmHalo:
             self._plan_all_to_all(parts, bounds)
         else:
             self._plan_all_gather(parts)
+        self._dev.update(self._core_dev)
         if order is not None:
             inv = np.empty(self.nrows, dtype=np.int32)
             inv[np.asarray(order)] = np.arange(self.nrows, dtype=np.int32)
@@ -130,6 +154,111 @@ class PreparedSpmmHalo:
         self._run = self._build_run()
 
     # ----------------------------------------------------------- planning
+
+    def _plan_core_halo(self, csr: CsrGraph, config: SpmmConfig) -> CsrGraph:
+        """Row-sharded dense hub-core over the ``nodes`` mesh.
+
+        Device d's slab holds its own hub rows (hubs whose node id falls
+        in d's row range, ≈k/nd of them, padded to ``kp``) × ALL k hub
+        columns laid out in GATHERED-BUFFER order: hub of rank j sits at
+        column ``owner(j)·kp + slot(j)``, which is exactly where one
+        ``all_gather`` of every device's (kp, H) hub-feature slice lands
+        it at run time. Per-device memory ≈ k²·itemsize/nd, so
+        ``hybrid_core_bytes`` (per device) buys a √nd-larger hub rank —
+        same scaling as the 2D path's column-sharded core. Core edges
+        are stripped from the returned tail csr (and with them their
+        halo requests). int8/int4 slabs demote non-representable cells
+        to the tail, like the single-chip and 2D builders."""
+        import ml_dtypes
+
+        n, nd, rpd = csr.nrows, self.nd, self.rows_per_dev
+        deg = np.diff(csr.rowptr).astype(np.int64)
+        deg = deg + np.bincount(csr.colind, minlength=n)[:n]
+        order = np.argsort(-deg).astype(np.int32)
+        rank = np.empty(n, dtype=np.int32)
+        rank[order] = np.arange(n, dtype=np.int32)
+
+        core_dtype = config.hybrid_dtype or "float32"
+        itemsize = {"bfloat16": 2, "int8": 1, "int4": 0.5}.get(
+            core_dtype, 4
+        )
+        if config.hybrid_k is not None:
+            k = max(0, min(config.hybrid_k, n))
+        else:
+            k = int(np.sqrt(config.hybrid_core_bytes * nd / itemsize))
+            k = min((k // 256) * 256, n)
+        if k == 0:
+            return csr
+
+        hubs = order[:k].astype(np.int64)  # rank j -> node id
+        owner = hubs // rpd
+        kp = max(8, round_up(int(np.bincount(owner, minlength=nd).max()), 8))
+        slot = np.empty(k, dtype=np.int64)
+        own_hub = np.zeros((nd, kp), dtype=np.int32)
+        for d in range(nd):
+            sel = np.flatnonzero(owner == d)
+            slot[sel] = np.arange(sel.size)
+            own_hub[d, : sel.size] = hubs[sel] - d * rpd
+        buffer_pos = owner * kp + slot  # hub rank -> gathered-buffer col
+
+        rows_of = np.repeat(
+            np.arange(n, dtype=np.int64), np.diff(csr.rowptr)
+        )
+        rr = rank[rows_of]
+        cc = rank[csr.colind]
+        in_core = (rr < k) & (cc < k)
+        row_owner = rows_of // rpd
+
+        w = nd * kp  # slab column count (buffer order)
+        np_core = {
+            "bfloat16": ml_dtypes.bfloat16, "int8": np.int8,
+            "int4": np.uint8,
+        }.get(core_dtype, np.float32)
+        slabs = np.zeros(
+            (nd, kp, w // 2 if core_dtype == "int4" else w), dtype=np_core
+        )
+        for d in range(nd):
+            sel = np.flatnonzero(in_core & (row_owner == d))
+            slab = np.zeros((kp, w), dtype=np.float32)
+            np.add.at(
+                slab, (slot[rr[sel]], buffer_pos[cc[sel]]),
+                csr.vals[sel].astype(np.float32),
+            )
+            if core_dtype in ("int8", "int4"):
+                hi_lim = 127 if core_dtype == "int8" else 7
+                r = np.round(slab)
+                bad = (r > hi_lim) | (r < -hi_lim - 1) | (r != slab)
+                if bad.any():
+                    br, bc = np.nonzero(bad)
+                    bad_flat = br.astype(np.int64) * w + bc
+                    e_flat = slot[rr[sel]] * w + buffer_pos[cc[sel]]
+                    demote = np.isin(e_flat, bad_flat)
+                    in_core[sel[demote]] = False
+                    r = np.where(bad, 0.0, r)
+                slab = r
+            if core_dtype == "int4":
+                lo4 = slab[:, 0::2].astype(np.int8).astype(np.uint8) & 0xF
+                hi4 = slab[:, 1::2].astype(np.int8).astype(np.uint8) & 0xF
+                slabs[d] = lo4 | (hi4 << 4)
+            else:
+                slabs[d] = slab.astype(np_core)
+            del slab
+        sh = NamedSharding(self.mesh, P("nodes"))
+        self._core_dev = {
+            "core_slab": jax.device_put(slabs, sh),
+            "core_own": jax.device_put(own_hub, sh),
+        }
+        self.hybrid_k_eff = k
+
+        # strip core edges: the exchange planners see only the tail
+        keep = ~in_core
+        counts = np.bincount(rows_of[keep], minlength=n)
+        rowptr = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(counts, out=rowptr[1:])
+        return CsrGraph(
+            rowptr=rowptr, colind=csr.colind[keep],
+            vals=csr.vals[keep], ncols=csr.ncols,
+        )
 
     def _ell_tables(self, parts, ncols_local_fn):
         """Shared-shape fixed-degree ELL tables per device part (the ell
@@ -299,10 +428,20 @@ class PreparedSpmmHalo:
         mesh, nd = self.mesh, self.nd
         rpd = self.rows_per_dev
         chunk, degree = self.row_chunk, self.ell_degree
+        hybrid = self.hybrid_k_eff > 0
+
+        def core_add(out, x_loc, slab, own_hub):
+            # one small all_gather collects every device's (kp, H) hub
+            # slice; slab columns were laid out in exactly that buffer
+            # order at prepare (padded slots hit zero slab columns/rows)
+            hs = jnp.take(x_loc, own_hub[0], axis=0)
+            hub_x = jax.lax.all_gather(hs, "nodes", tiled=True)
+            co = _core_matmul(slab[0], hub_x, jnp.float32)
+            return out.at[own_hub[0]].add(co.astype(out.dtype))
 
         if self.exchange == "all_gather":
 
-            def local_fn(cols2d, vals2d, vrow_to_row, x_local):
+            def local_fn(cols2d, vals2d, vrow_to_row, x_local, *core):
                 x_full = jax.lax.all_gather(
                     x_local[0], "nodes", tiled=True
                 )
@@ -310,17 +449,20 @@ class PreparedSpmmHalo:
                     x_full, cols2d[0], vals2d[0], vrow_to_row[0],
                     chunk, degree, rpd,
                 )
+                if hybrid:
+                    out = core_add(out, x_local[0], *core)
                 return out[None]
 
-            in_specs = (P("nodes"),) * 3 + (P("nodes"),)
+            in_specs = (P("nodes"),) * (4 + (2 if hybrid else 0))
 
             def runner(dev, xp):
+                args = [dev["cols2d"], dev["vals2d"], dev["vrow_to_row"], xp]
+                if hybrid:
+                    args += [dev["core_slab"], dev["core_own"]]
                 return jax.shard_map(
                     local_fn, mesh=mesh, in_specs=in_specs,
                     out_specs=P("nodes"),
-                )(
-                    dev["cols2d"], dev["vals2d"], dev["vrow_to_row"], xp,
-                )
+                )(*args)
 
         elif self.exchange == "ring":
             lc, ld = self._local_chunk, self._local_degree
@@ -351,21 +493,26 @@ class PreparedSpmmHalo:
                     out = out + ell_scan_spmm(
                         halo, hcols[0], hvals[0], hvrow[0], hc, hd, rpd
                     )
+                if hybrid:
+                    out = core_add(out, x_loc, *rest[n_shift + 1 :])
                 return out[None]
 
-            in_specs = (P("nodes"),) * (7 + nd - 1)
+            in_specs = (P("nodes"),) * (7 + nd - 1 + (2 if hybrid else 0))
 
             def runner(dev, xp):
-                return jax.shard_map(
-                    local_fn, mesh=mesh, in_specs=in_specs,
-                    out_specs=P("nodes"),
-                )(
+                args = [
                     dev["local_cols2d"], dev["local_vals2d"],
                     dev["local_vrow_to_row"], dev["halo_cols2d"],
                     dev["halo_vals2d"], dev["halo_vrow_to_row"],
                     *[dev[f"send_idx_{i}"] for i in range(nd - 1)],
                     xp,
-                )
+                ]
+                if hybrid:
+                    args += [dev["core_slab"], dev["core_own"]]
+                return jax.shard_map(
+                    local_fn, mesh=mesh, in_specs=in_specs,
+                    out_specs=P("nodes"),
+                )(*args)
 
         else:
             K = self.halo_k
@@ -373,7 +520,8 @@ class PreparedSpmmHalo:
             hc, hd = self._halo_chunk, self._halo_degree
 
             def local_fn(
-                lcols, lvals, lvrow, hcols, hvals, hvrow, send_idx, x_local
+                lcols, lvals, lvrow, hcols, hvals, hvrow, send_idx,
+                x_local, *core
             ):
                 x_loc = x_local[0]                     # (rpd, H)
                 # start the exchange: rows each peer requested
@@ -393,20 +541,25 @@ class PreparedSpmmHalo:
                     halo.reshape(nd * K, -1), hcols[0], hvals[0], hvrow[0],
                     hc, hd, rpd,
                 )
+                if hybrid:
+                    out = core_add(out, x_loc, *core)
                 return out[None]
 
-            in_specs = (P("nodes"),) * 7 + (P("nodes"),)
+            in_specs = (P("nodes"),) * (8 + (2 if hybrid else 0))
 
             def runner(dev, xp):
-                return jax.shard_map(
-                    local_fn, mesh=mesh, in_specs=in_specs,
-                    out_specs=P("nodes"),
-                )(
+                args = [
                     dev["local_cols2d"], dev["local_vals2d"],
                     dev["local_vrow_to_row"], dev["halo_cols2d"],
                     dev["halo_vals2d"], dev["halo_vrow_to_row"],
                     dev["send_idx"], xp,
-                )
+                ]
+                if hybrid:
+                    args += [dev["core_slab"], dev["core_own"]]
+                return jax.shard_map(
+                    local_fn, mesh=mesh, in_specs=in_specs,
+                    out_specs=P("nodes"),
+                )(*args)
 
         permuted = self.order is not None
 

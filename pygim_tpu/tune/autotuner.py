@@ -472,9 +472,12 @@ def autotune(
             continue
         for point in points:
             cfg = SpmmConfig(**point)
-            # the halo path aggregates with ELL tables regardless; the 2d
-            # path implements ell + hybrid — skip meaningless combos
-            if dist.layout == "halo" and cfg.backend != "ell":
+            # the halo path aggregates with ELL + an optional hub-core
+            # (row-sharded slabs); the 2d path implements ell + hybrid —
+            # skip meaningless combos
+            if dist.layout == "halo" and cfg.backend not in (
+                "ell", "hybrid"
+            ):
                 continue
             if dist.layout == "2d" and cfg.backend not in ("ell", "hybrid"):
                 continue

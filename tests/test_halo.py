@@ -192,3 +192,142 @@ def test_scaling_benchmark_ring(rng):
         reporter=DataReporter(echo=False),
     )
     assert "edges_per_s_n4" in means
+
+
+class TestHaloHybridCore:
+    """Row-sharded dense hub-core on the halo layout: per-device slabs
+    (own hub rows × all k hubs in gathered-buffer order) + one small
+    hub-feature all_gather; core edges leave the tail and its halo
+    requests at prepare."""
+
+    def _hub_coo(self, rng, n=200, dtype=np.float64):
+        from pygim_tpu.core.graph import CooGraph
+
+        hub_r = rng.integers(0, 24, 4000)
+        hub_c = rng.integers(0, 24, 4000)
+        t_r = rng.integers(0, n, 1200)
+        t_c = rng.integers(0, n, 1200)
+        vals = (
+            rng.standard_normal(5200)
+            if dtype == np.float64
+            else np.ones(5200, np.float32)
+        )
+        return CooGraph.from_edges(
+            np.concatenate([hub_r, t_r]), np.concatenate([hub_c, t_c]),
+            vals, nrows=n, ncols=n,
+        )
+
+    @pytest.mark.parametrize("exchange", ["all_gather", "all_to_all", "ring"])
+    @pytest.mark.parametrize("nd", [2, 4])
+    def test_matches_dense(self, rng, exchange, nd):
+        coo = self._hub_coo(rng)
+        x = rng.standard_normal((200, 24)).astype(np.float32)
+        prep = prepare_spmm_halo(
+            coo, make_node_mesh(nd),
+            SpmmConfig(backend="hybrid", hybrid_k=24),
+            exchange=exchange,
+        )
+        assert prep.hybrid_k_eff == 24
+        np.testing.assert_allclose(
+            np.asarray(prep.mul(jnp.asarray(x))), _dense_ref(coo, x),
+            rtol=1e-4, atol=1e-4,
+        )
+
+    def test_core_shrinks_halo_requests(self, rng):
+        """Stripping hub-hub edges before the exchange plan shrinks the
+        per-pair request buffers: hubs spread over devices + local-only
+        tail means every remote request is a core edge."""
+        from pygim_tpu.core.graph import CooGraph
+
+        n, nd, rpd = 200, 4, 50
+        hubs = np.array([d * rpd + i for d in range(nd) for i in range(6)])
+        hr = np.repeat(hubs, hubs.size)       # dense hub-hub block
+        hc = np.tile(hubs, hubs.size)
+        hr = np.repeat(hr, 8)                 # degree-boost: hubs rank top-k
+        hc = np.repeat(hc, 8)
+        tr_ = rng.integers(0, n, 1500)        # tail: strictly local cols
+        tc_ = (tr_ // rpd) * rpd + rng.integers(0, rpd, 1500)
+        coo = CooGraph.from_edges(
+            np.concatenate([hr, tr_]), np.concatenate([hc, tc_]),
+            rng.standard_normal(hr.size + 1500), nrows=n, ncols=n,
+        )
+        ell = prepare_spmm_halo(
+            coo, make_node_mesh(nd), SpmmConfig(backend="ell")
+        )
+        hyb = prepare_spmm_halo(
+            coo, make_node_mesh(nd),
+            SpmmConfig(backend="hybrid", hybrid_k=hubs.size),
+        )
+        assert hyb.halo_k < ell.halo_k
+        # and both still compute the right product
+        x = rng.standard_normal((n, 16)).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(hyb.mul(jnp.asarray(x))), _dense_ref(coo, x),
+            rtol=1e-4, atol=1e-4,
+        )
+
+    @pytest.mark.parametrize("core_dtype", ["bfloat16", "int8", "int4"])
+    def test_reduced_precision_cores(self, rng, core_dtype):
+        """bf16 / int8 / nibble-packed int4 slabs; integer cores demote
+        non-representable cells to the exact ELL tail."""
+        from pygim_tpu.core.graph import CooGraph
+
+        coo = self._hub_coo(rng, dtype=np.float32)  # integer-valued (1s)
+        # force an out-of-range cell: 40 parallel edges between two hubs
+        import dataclasses
+
+        extra_r = np.zeros(40, np.int32)
+        extra_c = np.ones(40, np.int32)
+        coo = CooGraph.from_edges(
+            np.concatenate([coo.rows, extra_r]),
+            np.concatenate([coo.cols, extra_c]),
+            np.concatenate([coo.vals, np.ones(40, np.float32)]),
+            nrows=coo.nrows, ncols=coo.ncols,
+        )
+        x = rng.standard_normal((coo.nrows, 16)).astype(np.float32)
+        prep = prepare_spmm_halo(
+            coo, make_node_mesh(4),
+            SpmmConfig(
+                backend="hybrid", hybrid_k=24, hybrid_dtype=core_dtype
+            ),
+        )
+        np.testing.assert_allclose(
+            np.asarray(prep.mul(jnp.asarray(x))), _dense_ref(coo, x),
+            # float payload rides bf16 on the MXU; dense hub cells (~7
+            # merged edges) amplify the x-rounding under cancellation
+            rtol=3e-2, atol=4e-1,
+        )
+
+    def test_with_locality_order(self, rng):
+        coo = self._hub_coo(rng)
+        x = rng.standard_normal((200, 16)).astype(np.float32)
+        prep = prepare_spmm_halo(
+            coo, make_node_mesh(4),
+            SpmmConfig(backend="hybrid", hybrid_k=16),
+            exchange="ring", order="lp",
+        )
+        np.testing.assert_allclose(
+            np.asarray(prep.mul(jnp.asarray(x))), _dense_ref(coo, x),
+            rtol=1e-4, atol=1e-4,
+        )
+
+    def test_bcsr_rejected(self, rng):
+        coo = self._hub_coo(rng)
+        with pytest.raises(ValueError, match="BCSR"):
+            prepare_spmm_halo(
+                coo, make_node_mesh(2),
+                SpmmConfig(backend="hybrid", bcsr_bytes=1 << 20),
+            )
+
+    def test_tuner_offers_halo_hybrid(self, rng, tmp_path, monkeypatch):
+        monkeypatch.setenv("PYGIM_TPU_TUNE_CACHE", str(tmp_path))
+        from pygim_tpu.tune import autotune
+
+        coo = self._hub_coo(rng)
+        res = autotune(
+            coo, hidden=32, n_devices=4, layouts=("halo",),
+            use_cache=False,
+        )
+        assert any(
+            p.get("backend") == "hybrid" for p, _, _, _ in res.candidates
+        )
