@@ -115,6 +115,7 @@ def plan_statistics(
     )
     core_bytes = 0
     bcsr = None
+    k_hybrid = None
     ell_scale = 1.0  # tail shrink from BCSR-tier capture
     if config.backend in ("ell", "hybrid"):
         from pygim_tpu.core.partition import choose_ell_degree
@@ -146,11 +147,13 @@ def plan_statistics(
                 )
             rank, rows_of = memo["rank"], memo["rows_of"]
             core_bytes = int(k * k * itemsize) // max(1, sp)  # per device
+            k_hybrid = k
             tail_deg = memo.get(("tail_deg", k))
             if tail_deg is None:
                 # the O(nnz) mask is the expensive part — compute it
                 # once per distinct k across the whole candidate loop
                 in_core = (rank[rows_of] < k) & (rank[csr.colind] < k)
+                memo[("in_core", k)] = in_core
                 tail_deg = np.bincount(
                     rows_of[~in_core], minlength=csr.nrows
                 ).astype(np.int64)
@@ -218,13 +221,33 @@ def plan_statistics(
             merge_rows * frac * (1 if plan.scatter_output else 2)
         )
     elif plan.layout == "halo":
+        # the halo hub-core strips core edges BEFORE the exchange plan
+        # (parallel/halo.py:_plan_core_halo), so price the cut on the
+        # stripped tail for hybrid candidates
+        hkey = ("halo", sp)
+        csr_cut = csr
+        if k_hybrid and core_bytes > 0:
+            hkey = ("halo", sp, k_hybrid)
+            csr_cut = memo.get(("tailcsr", k_hybrid))
+            if csr_cut is None:
+                keep = ~memo[("in_core", k_hybrid)]
+                counts = np.bincount(
+                    memo["rows_of"][keep], minlength=csr.nrows
+                )
+                rowptr = np.zeros(csr.nrows + 1, dtype=np.int32)
+                np.cumsum(counts, out=rowptr[1:])
+                csr_cut = CsrGraph(
+                    rowptr=rowptr, colind=csr.colind[keep],
+                    vals=csr.vals[keep], ncols=csr.ncols,
+                )
+                memo[("tailcsr", k_hybrid)] = csr_cut
         if halo_stats is None:
             # explicit memo check — setdefault would EVALUATE the
             # O(nnz log nnz) halo statistics on every call
-            halo_stats = memo.get(("halo", sp))
+            halo_stats = memo.get(hkey)
             if halo_stats is None:
-                halo_stats = halo_statistics(csr, sp)
-                memo[("halo", sp)] = halo_stats
+                halo_stats = halo_statistics(csr_cut, sp)
+                memo[hkey] = halo_stats
         rows = {
             "all_to_all": halo_stats["a2a_recv_rows"],
             "ring": halo_stats["ring_recv_rows"],

@@ -244,11 +244,16 @@ class TestDistTuning:
         assert hs_dc["a2a_recv_rows"] >= hs_dc["ag_recv_rows"]
         assert hs_bd["local_edge_fraction"] > 0.99
 
+    # exchange-choice tests pin the backend to ell: with hybrid allowed
+    # on halo, a dense hub-core can absorb these tiny graphs outright
+    # and the winner's exchange no longer reflects the cut pricing
+    _ELL_ONLY = For("backend", ["ell"]) * For("balance", ["nnz"])
+
     def test_picks_all_to_all_on_block_diagonal(self, rng, tmp_path, monkeypatch):
         monkeypatch.setenv("PYGIM_TPU_TUNE_CACHE", str(tmp_path))
         res = autotune(
             self._block_diag(rng), hidden=64, n_devices=4,
-            layouts=("halo",), use_cache=False,
+            layouts=("halo",), use_cache=False, space=self._ELL_ONLY,
         )
         assert res.plan.layout == "halo"
         assert res.plan.exchange == "all_to_all"
@@ -257,7 +262,7 @@ class TestDistTuning:
         monkeypatch.setenv("PYGIM_TPU_TUNE_CACHE", str(tmp_path))
         res = autotune(
             self._dense_cut(rng), hidden=64, n_devices=4,
-            layouts=("halo",), use_cache=False,
+            layouts=("halo",), use_cache=False, space=self._ELL_ONLY,
         )
         assert res.plan.exchange == "all_gather"
 
@@ -461,6 +466,36 @@ class TestIciConstants:
         assert predict_spmm_time(other, slow) == predict_spmm_time(
             other, base
         )
+
+
+def test_plan_statistics_halo_hybrid_shrinks_cut(rng):
+    """The halo hub-core strips core edges before the exchange plan
+    (parallel/halo.py), so hybrid candidates must be priced on the
+    stripped tail's cut — here the remote requests are almost entirely
+    hub-hub edges, so the hybrid plan's collective volume collapses."""
+    from pygim_tpu.core.graph import CooGraph
+    from pygim_tpu.tune.dist import DistPlan
+
+    n, nd, rpd = 2048, 4, 512
+    hubs = np.array([d * rpd + i for d in range(nd) for i in range(8)])
+    hr = np.repeat(np.repeat(hubs, hubs.size), 4)
+    hc = np.repeat(np.tile(hubs, hubs.size), 4)
+    tr_ = rng.integers(0, n, 20000)
+    tc_ = (tr_ // rpd) * rpd + rng.integers(0, rpd, 20000)
+    csr = CooGraph.from_edges(
+        np.concatenate([hr, tr_]), np.concatenate([hc, tc_]),
+        nrows=n, ncols=n,
+    ).to_csr()
+    plan = DistPlan("halo", nd, 1, exchange="all_to_all")
+    memo: dict = {}
+    s_ell = plan_statistics(
+        csr, 64, SpmmConfig(backend="ell"), plan=plan, _memo=memo
+    )
+    s_hyb = plan_statistics(
+        csr, 64, SpmmConfig(backend="hybrid", hybrid_k=int(hubs.size)),
+        plan=plan, _memo=memo,
+    )
+    assert s_hyb["psum_bytes"] < 0.5 * s_ell["psum_bytes"]
 
 
 class TestBcsrTuning:
