@@ -53,6 +53,13 @@ BASELINE_EXPERIMENTS = [
                backend="ell", hidden=128, exchange="all_to_all", repeat=2),
     Experiment(dataset="rmat-1048576-15728640", kind="scaling",
                backend="ell", hidden=128, exchange="ring", repeat=2),
+    # + the row-sharded hub-core on the halo layout (hybrid): per-device
+    # budget buys a √nd-larger hub rank; core edges leave the exchange.
+    # Budget kept small so the virtual-mesh (CPU) rehearsal stays cheap;
+    # real-chip runs raise it to the HBM headroom.
+    Experiment(dataset="rmat-1048576-15728640", kind="scaling",
+               backend="hybrid", hybrid_core_bytes=8 << 20, hidden=128,
+               exchange="ring", repeat=2),
 ]
 
 
