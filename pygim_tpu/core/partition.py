@@ -345,3 +345,51 @@ def split_features(hidden: int, ds_parts: int) -> list[tuple[int, int]]:
     """Dense/feature-dim split (``ds_parts``): equal widths, remainder in the
     last part — same convention as spmm.py:59-63 ``h_size``."""
     return column_split_bounds(hidden, ds_parts)
+
+
+def strip_csr(p: CsrGraph, keep: np.ndarray, rows_of=None) -> CsrGraph:
+    """Rebuild a CSR keeping only the entries selected by ``keep``
+    (a mask over storage order) — the shared idiom for removing
+    hub-core / tile-tier edges from the gather tail (single-chip,
+    2D-mesh, halo, and the tuner's cut pricing all strip this way)."""
+    if rows_of is None:
+        rows_of = np.repeat(
+            np.arange(p.nrows, dtype=np.int64), np.diff(p.rowptr)
+        )
+    counts = np.bincount(rows_of[keep], minlength=p.nrows)
+    rowptr = np.zeros(p.nrows + 1, dtype=np.int32)
+    np.cumsum(counts, out=rowptr[1:])
+    return CsrGraph(
+        rowptr=rowptr, colind=p.colind[keep], vals=p.vals[keep],
+        ncols=p.ncols,
+    )
+
+
+def int_demote_slab(
+    slab: np.ndarray, core_dtype: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """Round a float32 core slab to the exact-integer range of the core
+    dtype (|c| ≤ 127 for int8, ≤ 7 for int4). Non-representable cells
+    are ZEROED; their row-major flat indices are returned so the caller
+    demotes the matching edges back to the exact gather tail — the rule
+    every hub-core builder shares (ops/spmm.py, parallel/spmm_2d.py,
+    parallel/halo.py)."""
+    hi = 127 if core_dtype == "int8" else 7
+    r = np.round(slab)
+    bad = (r > hi) | (r < -hi - 1) | (r != slab)
+    if not bad.any():
+        return r, np.empty(0, dtype=np.int64)
+    br, bc = np.nonzero(bad)
+    return (
+        np.where(bad, 0.0, r),
+        br.astype(np.int64) * slab.shape[1] + bc,
+    )
+
+
+def pack_nibbles(slab: np.ndarray) -> np.ndarray:
+    """Nibble-pack an integer-valued slab column-pairwise: byte j holds
+    cells (2j, 2j+1), low nibble = even column — the packed-int4 core
+    layout `_core_matmul` unpacks on the MXU."""
+    lo = slab[:, 0::2].astype(np.int8).astype(np.uint8) & 0xF
+    hi = slab[:, 1::2].astype(np.int8).astype(np.uint8) & 0xF
+    return lo | (hi << 4)

@@ -225,40 +225,40 @@ class PreparedSpmmHalo:
                 csr.vals[sel].astype(np.float32),
             )
             if core_dtype in ("int8", "int4"):
-                hi_lim = 127 if core_dtype == "int8" else 7
-                r = np.round(slab)
-                bad = (r > hi_lim) | (r < -hi_lim - 1) | (r != slab)
-                if bad.any():
-                    br, bc = np.nonzero(bad)
-                    bad_flat = br.astype(np.int64) * w + bc
+                from pygim_tpu.core.partition import int_demote_slab
+
+                slab, bad_flat = int_demote_slab(slab, core_dtype)
+                if bad_flat.size:
                     e_flat = slot[rr[sel]] * w + buffer_pos[cc[sel]]
                     demote = np.isin(e_flat, bad_flat)
                     in_core[sel[demote]] = False
-                    r = np.where(bad, 0.0, r)
-                slab = r
             if core_dtype == "int4":
-                lo4 = slab[:, 0::2].astype(np.int8).astype(np.uint8) & 0xF
-                hi4 = slab[:, 1::2].astype(np.int8).astype(np.uint8) & 0xF
-                slabs[d] = lo4 | (hi4 << 4)
+                from pygim_tpu.core.partition import pack_nibbles
+
+                slabs[d] = pack_nibbles(slab)
             else:
                 slabs[d] = slab.astype(np_core)
             del slab
         sh = NamedSharding(self.mesh, P("nodes"))
+        # gathered-buffer position -> global node id (padding slots point
+        # at node 0 — their slab columns are zero). Lets the all_gather
+        # exchange reuse its replicated x_full instead of paying a second
+        # collective for the hub features.
+        buf_nodes = np.zeros(nd * kp, dtype=np.int32)
+        buf_nodes[buffer_pos] = hubs
         self._core_dev = {
             "core_slab": jax.device_put(slabs, sh),
             "core_own": jax.device_put(own_hub, sh),
+            "core_buf_nodes": jax.device_put(
+                buf_nodes, NamedSharding(self.mesh, P())
+            ),
         }
         self.hybrid_k_eff = k
 
         # strip core edges: the exchange planners see only the tail
-        keep = ~in_core
-        counts = np.bincount(rows_of[keep], minlength=n)
-        rowptr = np.zeros(n + 1, dtype=np.int32)
-        np.cumsum(counts, out=rowptr[1:])
-        return CsrGraph(
-            rowptr=rowptr, colind=csr.colind[keep],
-            vals=csr.vals[keep], ncols=csr.ncols,
-        )
+        from pygim_tpu.core.partition import strip_csr
+
+        return strip_csr(csr, ~in_core, rows_of)
 
     def _ell_tables(self, parts, ncols_local_fn):
         """Shared-shape fixed-degree ELL tables per device part (the ell
@@ -450,15 +450,25 @@ class PreparedSpmmHalo:
                     chunk, degree, rpd,
                 )
                 if hybrid:
-                    out = core_add(out, x_local[0], *core)
+                    # x_full already holds every hub row — assemble the
+                    # gathered-order buffer with a take, no 2nd collective
+                    slab, own_hub, buf_nodes = core
+                    hub_x = jnp.take(x_full, buf_nodes, axis=0)
+                    co = _core_matmul(slab[0], hub_x, jnp.float32)
+                    out = out.at[own_hub[0]].add(co.astype(out.dtype))
                 return out[None]
 
-            in_specs = (P("nodes"),) * (4 + (2 if hybrid else 0))
+            in_specs = (P("nodes"),) * 4 + (
+                (P("nodes"), P("nodes"), P()) if hybrid else ()
+            )
 
             def runner(dev, xp):
                 args = [dev["cols2d"], dev["vals2d"], dev["vrow_to_row"], xp]
                 if hybrid:
-                    args += [dev["core_slab"], dev["core_own"]]
+                    args += [
+                        dev["core_slab"], dev["core_own"],
+                        dev["core_buf_nodes"],
+                    ]
                 return jax.shard_map(
                     local_fn, mesh=mesh, in_specs=in_specs,
                     out_specs=P("nodes"),

@@ -198,12 +198,10 @@ class PreparedSpmm2D:
                 # cells not representable in the integer core dtype are
                 # zeroed in the core and demoted to the exact ELL tail
                 # (ops/spmm.py does the same on the single-chip path)
-                hi_lim = 127 if core_dtype == "int8" else 7
-                r = np.round(slab)
-                bad = (r > hi_lim) | (r < -hi_lim - 1) | (r != slab)
-                if bad.any():
-                    br, bc2 = np.nonzero(bad)
-                    bad_flat = br.astype(np.int64) * k_col_pad + bc2
+                from pygim_tpu.core.partition import int_demote_slab
+
+                slab, bad_flat = int_demote_slab(slab, core_dtype)
+                if bad_flat.size:
                     idx = np.flatnonzero(in_core)
                     e_flat = (
                         rr[idx].astype(np.int64) * k_col_pad
@@ -211,25 +209,18 @@ class PreparedSpmm2D:
                     )
                     demote = np.isin(e_flat, bad_flat)
                     in_core[idx[demote]] = False
-                    r = np.where(bad, 0.0, r)
-                slab = r
             if core_dtype == "int4":
-                lo4 = slab[:, 0::2].astype(np.int8).astype(np.uint8) & 0xF
-                hi4 = slab[:, 1::2].astype(np.int8).astype(np.uint8) & 0xF
-                cores[s] = lo4 | (hi4 << 4)
+                from pygim_tpu.core.partition import pack_nibbles
+
+                cores[s] = pack_nibbles(slab)
             else:
                 cores[s] = slab.astype(np_core)
             del slab
             core_rows[s, : sels[s].size] = order[:k][sels[s]] - lo
             # strip core edges from the tail part (rebuild CSR)
-            keep = ~in_core
-            counts = np.bincount(rows_of[keep], minlength=p.nrows)
-            rowptr = np.zeros(p.nrows + 1, dtype=np.int32)
-            np.cumsum(counts, out=rowptr[1:])
-            parts[s] = CsrGraph(
-                rowptr=rowptr, colind=p.colind[keep], vals=p.vals[keep],
-                ncols=p.ncols,
-            )
+            from pygim_tpu.core.partition import strip_csr
+
+            parts[s] = strip_csr(p, ~in_core, rows_of)
         sharded = NamedSharding(self.mesh, P("sp"))
         self._core_dev = {
             "core": jax.device_put(cores, sharded),
@@ -309,14 +300,9 @@ class PreparedSpmm2D:
                 n_cols=n_s,
             )
             if bc is not None:
-                keep = ~in_tile
-                counts = np.bincount(rows_of[keep], minlength=p.nrows)
-                rowptr = np.zeros(p.nrows + 1, dtype=np.int32)
-                np.cumsum(counts, out=rowptr[1:])
-                parts[s] = CsrGraph(
-                    rowptr=rowptr, colind=p.colind[keep],
-                    vals=p.vals[keep], ncols=p.ncols,
-                )
+                from pygim_tpu.core.partition import strip_csr
+
+                parts[s] = strip_csr(p, ~in_tile, rows_of)
                 captured += bc.n_edges
             bcs.append(bc)
         if captured == 0:

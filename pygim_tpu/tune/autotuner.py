@@ -166,13 +166,21 @@ def plan_statistics(
                 # tail uniformly in the model
                 from pygim_tpu.tune.bcsr_probe import bcsr_statistics
 
+                # tiles store bf16 alongside bf16/int8 cores, f32
+                # otherwise — the builder's rule (ops/spmm.py bcsr)
+                bcsr_item = (
+                    2
+                    if (config.hybrid_dtype or "float32")
+                    in ("bfloat16", "int8")
+                    else 4
+                )
                 bcsr = bcsr_statistics(
                     csr, rank, rows_of, k,
                     tile_rows=config.bcsr_tile,
                     order=config.bcsr_order,
                     budget_bytes=config.bcsr_bytes,
                     hidden=hidden,
-                    itemsize=2,  # tiles store bf16 (ops/spmm.py bcsr)
+                    itemsize=bcsr_item,
                     min_edges=config.bcsr_min_edges,
                     _memo=memo,
                 )
@@ -230,15 +238,10 @@ def plan_statistics(
             hkey = ("halo", sp, k_hybrid)
             csr_cut = memo.get(("tailcsr", k_hybrid))
             if csr_cut is None:
-                keep = ~memo[("in_core", k_hybrid)]
-                counts = np.bincount(
-                    memo["rows_of"][keep], minlength=csr.nrows
-                )
-                rowptr = np.zeros(csr.nrows + 1, dtype=np.int32)
-                np.cumsum(counts, out=rowptr[1:])
-                csr_cut = CsrGraph(
-                    rowptr=rowptr, colind=csr.colind[keep],
-                    vals=csr.vals[keep], ncols=csr.ncols,
+                from pygim_tpu.core.partition import strip_csr
+
+                csr_cut = strip_csr(
+                    csr, ~memo[("in_core", k_hybrid)], memo["rows_of"]
                 )
                 memo[("tailcsr", k_hybrid)] = csr_cut
         if halo_stats is None:
@@ -256,6 +259,11 @@ def plan_statistics(
         psum_bytes = rows * hidden * dtype_bytes
         n_collectives = sp - 1 if plan.exchange == "ring" else 1
         collective = plan.exchange
+        if k_hybrid and core_bytes > 0:
+            # the hub-core's per-mul feature collection: every device
+            # receives all ~k hub rows via one small all_gather
+            # (parallel/halo.py:core_add)
+            psum_bytes += int(k_hybrid * hidden * dtype_bytes)
     else:
         psum_bytes = 0
         n_collectives = 1
@@ -267,7 +275,7 @@ def plan_statistics(
     if bcsr is not None and bcsr["n_tiles"]:
         tr, tc = config.bcsr_tile, 128
         slots, n_vb = bcsr["slots"], bcsr["n_vb"]
-        bcsr_store = slots * tr * tc * 2  # bf16 tiles
+        bcsr_store = slots * tr * tc * bcsr_item
         bcsr_stream = (
             bcsr_store
             + slots * tc * h_local * dtype_bytes
@@ -496,10 +504,11 @@ def autotune(
         for point in points:
             cfg = SpmmConfig(**point)
             # the halo path aggregates with ELL + an optional hub-core
-            # (row-sharded slabs); the 2d path implements ell + hybrid —
-            # skip meaningless combos
-            if dist.layout == "halo" and cfg.backend not in (
-                "ell", "hybrid"
+            # (row-sharded slabs) but no BCSR tier; the 2d path
+            # implements ell + hybrid — skip unbuildable combos
+            if dist.layout == "halo" and (
+                cfg.backend not in ("ell", "hybrid")
+                or cfg.bcsr_bytes > 0
             ):
                 continue
             if dist.layout == "2d" and cfg.backend not in ("ell", "hybrid"):

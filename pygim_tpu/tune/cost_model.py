@@ -180,8 +180,12 @@ def calibrate_from_phases(
     return model
 
 
-def _ici_cache_path(platform: str, nd: int) -> Path:
-    return _CACHE.parent / f"ici-{platform}-n{nd}.json"
+def _ici_cache_path(platform: str, nd: int, rows: int, h: int) -> Path:
+    # the default payload keeps the stable per-topology name (the
+    # persisted-constants contract); custom fit sizes get their own key
+    # so they never silently return a default-size fit
+    suffix = "" if (rows, h) == (4096, 256) else f"-r{rows}-h{h}"
+    return _CACHE.parent / f"ici-{platform}-n{nd}{suffix}.json"
 
 
 def measure_ici_constants(
@@ -223,7 +227,7 @@ def measure_ici_constants(
         raise ValueError(f"{nd} devices requested, {len(devs)} available")
     devs = devs[:nd]
     platform = devs[0].platform
-    path = _ici_cache_path(platform, nd)
+    path = _ici_cache_path(platform, nd, rows, h)
     if save and path.exists():
         try:
             return json.loads(path.read_text())
