@@ -35,12 +35,10 @@ def main():
 
     # persistent compile cache: repeated bench runs skip the (minutes-long
     # on remote backends) XLA compile when supported
-    try:
-        cache_dir = os.path.expanduser("~/.cache/pygim_tpu/jaxcache")
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception as e:
-        log(f"compile cache unavailable: {e}")
+    from pygim_tpu.utils.compile_cache import enable as enable_cache
+
+    if not enable_cache():
+        log("compile cache unavailable")
 
     log(f"devices: {jax.devices()}")
 

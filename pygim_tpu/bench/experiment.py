@@ -105,6 +105,9 @@ class Experiment:
             run_spmm_benchmark,
         )
         from pygim_tpu.data import load_dataset
+        from pygim_tpu.utils.compile_cache import enable as _enable_cache
+
+        _enable_cache()  # share compiled executables across ledger runs
 
         results_dir = Path(results_dir)
         results_dir.mkdir(parents=True, exist_ok=True)

@@ -40,6 +40,10 @@ def main(argv=None):
     args = get_args(argv)
     print(args)
 
+    from pygim_tpu.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()  # remote backends: skip repeat XLA compiles
+
     from pygim_tpu.bench.runners import run_spmm_benchmark
     from pygim_tpu.compat import prepare_for_version
     from pygim_tpu.data import load_dataset

@@ -31,6 +31,10 @@ def main(argv=None):
     args = get_args(argv)
     print(args)
 
+    from pygim_tpu.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()  # remote backends: skip repeat XLA compiles
+
     import jax
     import jax.numpy as jnp
     import numpy as np
