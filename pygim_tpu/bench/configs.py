@@ -60,6 +60,12 @@ BASELINE_EXPERIMENTS = [
     Experiment(dataset="rmat-1048576-15728640", kind="scaling",
                backend="hybrid", hybrid_core_bytes=8 << 20, hidden=128,
                exchange="ring", repeat=2),
+    # the literal config-5 clause: FULL GCN inference over the
+    # edge-partitioned mesh (model forward per device count, int32
+    # quantized aggregation like the reference defaults)
+    Experiment(dataset="rmat-1048576-15728640", kind="scaling",
+               backend="ell", hidden=128, exchange="ring", repeat=2,
+               scale_model=True, model="gcn", dtype="int32"),
 ]
 
 

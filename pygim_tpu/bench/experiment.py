@@ -55,6 +55,8 @@ class Experiment:
     bcsr_order: str = "rank"           # BCSR ordering (rank | rcm | lp)
     bcsr_layout: str = "row"           # BCSR scheduling (row | panel)
     exchange: str = "all_to_all"       # scaling kind: halo exchange
+    scale_model: bool = False          # scaling kind: time the FULL model
+                                       # forward, not the raw SpMM
     phases: bool = False               # spmm kind: per-phase [DATA] times
     validate: bool = False             # inference kind: per-layer check
     repeat: int = 3
@@ -151,6 +153,11 @@ class Experiment:
                 run_scaling_benchmark(
                     ds, hidden=self.hidden, exchange=self.exchange,
                     config=cfg, repeat=self.repeat, reporter=rep,
+                    model=self.model if self.scale_model else None,
+                    num_layers=self.num_layers,
+                    agg_dtype=(
+                        None if self.dtype == "float32" else self.dtype
+                    ),
                 )
             else:
                 raise ValueError(f"unknown kind {self.kind!r}")

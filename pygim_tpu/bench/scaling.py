@@ -30,7 +30,15 @@ def run_scaling_benchmark(
     config: Optional[SpmmConfig] = None,
     repeat: int = 3,
     reporter: Optional[DataReporter] = None,
+    model: Optional[str] = None,
+    num_layers: int = 2,
+    agg_dtype: Optional[str] = None,
 ) -> dict:
+    """``model=None`` times the raw SpMM at each device count (the
+    per-multiply scaling curve); ``model="gcn"|"sage"|"gin"`` times the
+    FULL inference forward instead — the literal BASELINE config 5
+    clause ("ogbn-papers100M GCN edge-partitioned multi-host"), with the
+    per-count prep's tables threaded through one jitted program."""
     rep = reporter or DataReporter()
     n_avail = len(jax.devices())
     if device_counts is None:
@@ -40,10 +48,13 @@ def run_scaling_benchmark(
     # mark the ledger entry so efficiency numbers are read accordingly
     rep.report("virtual_mesh", jax.devices()[0].platform == "cpu")
     rng = np.random.default_rng(0)
-    x = jnp.asarray(
-        rng.standard_normal((ds.graph.nrows, hidden)), dtype=jnp.float32
-    )
     graph = ds.graph
+    if model is None:
+        x = jnp.asarray(
+            rng.standard_normal((graph.nrows, hidden)), dtype=jnp.float32
+        )
+    else:
+        x = jnp.asarray(ds.x, dtype=jnp.float32)
     base_eps = None
     for n in device_counts:
         if n == 1:
@@ -52,8 +63,26 @@ def run_scaling_benchmark(
             prep = prepare_spmm_halo(
                 graph, make_node_mesh(n), config, exchange=exchange
             )
-        dt = device_time(prep.mul, x, iters=repeat)
-        eps = graph.nnz / dt
+        if model is None:
+            dt = device_time(prep.mul, x, iters=repeat)
+            eps = graph.nnz / dt
+        else:
+            from pygim_tpu.nn.models import make_gnn
+            from pygim_tpu.ops.spmm import PreparedAggregate
+
+            gnn = make_gnn(
+                jax.random.key(0), model, ds.x.shape[1], hidden,
+                ds.num_classes, num_layers=num_layers,
+                agg_dtype=agg_dtype,
+            )
+            dev = prep.dev_arrays
+            fwd_j = jax.jit(
+                lambda x, dev, prep=prep, gnn=gnn: gnn.apply(
+                    x, PreparedAggregate(prep, dev)
+                )
+            )
+            dt = device_time(lambda a: fwd_j(a, dev), x, iters=repeat)
+            eps = graph.nnz * num_layers / dt
         rep.report(f"edges_per_s_n{n}", eps)
         if n == 1:
             base_eps = eps

@@ -194,6 +194,30 @@ def test_scaling_benchmark_ring(rng):
     assert "edges_per_s_n4" in means
 
 
+def test_scaling_benchmark_full_model(rng):
+    """scale_model path: the FULL GCN forward (quantized aggregation,
+    tables threaded through one jit) timed per device count — the
+    literal config-5 clause."""
+    from pygim_tpu.bench.scaling import run_scaling_benchmark
+    from pygim_tpu.data.datasets import GraphDataset
+    from pygim_tpu.utils.metrics import DataReporter
+
+    coo = random_coo(rng, nrows=64, ncols=64, nnz=400)
+    ds = GraphDataset(
+        name="t", graph=coo,
+        x=rng.standard_normal((64, 4)).astype(np.float32),
+        y=np.zeros(64, np.int64), train_mask=np.zeros(64, bool),
+        test_mask=np.zeros(64, bool), num_classes=2, synthetic=True,
+    )
+    means = run_scaling_benchmark(
+        ds, device_counts=[1, 4], hidden=8, exchange="ring", repeat=1,
+        reporter=DataReporter(echo=False), model="gcn",
+        agg_dtype="int32",
+    )
+    assert means["edges_per_s_n4"] > 0
+    assert "scaling_efficiency_n4" in means
+
+
 class TestHaloHybridCore:
     """Row-sharded dense hub-core on the halo layout: per-device slabs
     (own hub rows × all k hubs in gathered-buffer order) + one small
