@@ -26,10 +26,41 @@ HBM_PEAK_GBPS = float(os.environ.get("PYGIM_BENCH_HBM_GBPS", 819.0))
 TARGET_FRACTION = 0.70
 
 
+def _wait_for_tpu_relay():
+    """The remote-TPU tunnel relay (CLAUDE.md) can die; a JAX client then
+    BLOCKS FOREVER in backend init. When the axon plugin is on the path,
+    probe its port first and wait a bounded time — failing fast beats
+    hanging the driver's round-end bench."""
+    if "axon" not in os.environ.get("PYTHONPATH", "") + os.environ.get(
+        "JAX_PLATFORMS", ""
+    ):
+        return True
+    import socket
+
+    deadline = time.time() + float(
+        os.environ.get("PYGIM_BENCH_RELAY_WAIT_S", 600)
+    )
+    while True:
+        try:
+            socket.create_connection(("127.0.0.1", 8082), 2).close()
+            return True
+        except OSError:
+            if time.time() >= deadline:
+                return False
+            log("tpu relay down — waiting 60s")
+            time.sleep(60)
+
+
 def main():
     dataset = os.environ.get("PYGIM_BENCH_DATASET", "reddit")
     hidden = int(os.environ.get("PYGIM_BENCH_HIDDEN", 256))
     t_start = time.time()
+
+    if not _wait_for_tpu_relay():
+        log("FATAL: tpu tunnel relay unreachable (port 8082 refused); "
+            "backend init would block forever — aborting without a "
+            "result line")
+        sys.exit(1)
 
     import jax
 
