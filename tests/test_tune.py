@@ -614,3 +614,28 @@ def test_autotune_default_space_covers_hybrid_knobs(rng, tmp_path, monkeypatch):
     assert {p.get("hybrid_dtype") for p in points} >= {"bfloat16", "int8", "int4"}
     assert len({p.get("hybrid_core_bytes") for p in points}) > 1
     assert {p.get("backend") for p in points} >= {"blocked", "ell", "hybrid"}
+
+
+def test_ici_constants_too_many_devices():
+    import pytest as _pytest
+
+    from pygim_tpu.tune.cost_model import measure_ici_constants
+
+    with _pytest.raises(ValueError):
+        measure_ici_constants(512)
+
+
+def test_bcsr_probe_empty_tail(rng):
+    """k covering every node leaves no tail — the probe reports zeros
+    instead of dividing by it."""
+    from pygim_tpu.tune.bcsr_probe import bcsr_statistics
+
+    coo = random_coo(rng, nrows=256, ncols=256, nnz=2000)
+    csr = coo.to_csr()
+    rank = np.arange(256, dtype=np.int64)
+    rows_of = np.repeat(np.arange(256, dtype=np.int64), np.diff(csr.rowptr))
+    est = bcsr_statistics(
+        csr, rank, rows_of, 256, tile_rows=8, order="rank",
+        budget_bytes=1 << 20, hidden=32,
+    )
+    assert est["captured_edges"] == 0 and est["tail_edges"] == 0

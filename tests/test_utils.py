@@ -49,3 +49,15 @@ def test_profiling_contexts_no_crash():
     # trace may not be supported on all backends; must never raise
     with trace("/tmp/pygim_trace_test"):
         jnp.ones(4).sum()
+
+
+def test_compile_cache_enable_idempotent(tmp_path, monkeypatch):
+    import pygim_tpu.utils.compile_cache as cc
+
+    monkeypatch.setattr(cc, "_enabled", False)
+    monkeypatch.setenv("PYGIM_TPU_JAX_CACHE", str(tmp_path / "jc"))
+    assert cc.enable() is True
+    assert cc.enable() is True  # second call is a no-op hit
+    import jax
+
+    assert jax.config.jax_compilation_cache_dir == str(tmp_path / "jc")
