@@ -187,6 +187,22 @@ class PreparedSpmmHalo:
         else:
             k = int(np.sqrt(config.hybrid_core_bytes * nd / itemsize))
             k = min((k // 256) * 256, n)
+            # k² /nd per device assumes ~balanced hub ownership; when
+            # node ids correlate with degree (pre-sorted inputs), one
+            # device can own nearly all hubs and every slab inflates to
+            # (k, nd·k). Shrink the budget-derived k until the ACTUAL
+            # per-device slab honors hybrid_core_bytes. (An explicit
+            # hybrid_k is taken literally.)
+            while k >= 256:
+                owned = np.bincount(
+                    order[:k].astype(np.int64) // rpd, minlength=nd
+                ).max()
+                kp_try = max(8, round_up(int(owned), 8))
+                if kp_try * (nd * kp_try) * itemsize \
+                        <= config.hybrid_core_bytes:
+                    break
+                k -= 256
+            k = max(0, k)
         if k == 0:
             return csr
 

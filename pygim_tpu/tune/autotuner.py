@@ -159,11 +159,13 @@ def plan_statistics(
                 ).astype(np.int64)
                 memo[("tail_deg", k)] = tail_deg
             deg = tail_deg
-            if config.bcsr_bytes > 0 and plan.layout == "single":
-                # BCSR middle tier (single-chip only): price tile
-                # capture with the sampled structure probe
-                # (tune/bcsr_probe.py); captured edges leave the ELL
-                # tail uniformly in the model
+            if config.bcsr_bytes > 0 and plan.layout in ("single", "2d"):
+                # BCSR middle tier: price tile capture with the sampled
+                # structure probe (tune/bcsr_probe.py); captured edges
+                # leave the ELL tail uniformly in the model. The 2D
+                # tier's per-shard column ranking captures ~the same
+                # tiles split over sp shards (parallel/spmm_2d.py), so
+                # its per-device terms divide by sp below.
                 from pygim_tpu.tune.bcsr_probe import bcsr_statistics
 
                 # tiles store bf16 alongside bf16/int8 cores, f32
@@ -231,25 +233,20 @@ def plan_statistics(
     elif plan.layout == "halo":
         # the halo hub-core strips core edges BEFORE the exchange plan
         # (parallel/halo.py:_plan_core_halo), so price the cut on the
-        # stripped tail for hybrid candidates
+        # stripped tail for hybrid candidates. Only the (small) stats
+        # dict is memoized per (sp, k) — a stripped-CSR copy per core
+        # size would cost GBs of tuning RAM at 100M+ edges.
         hkey = ("halo", sp)
-        csr_cut = csr
+        keep = None
         if k_hybrid and core_bytes > 0:
             hkey = ("halo", sp, k_hybrid)
-            csr_cut = memo.get(("tailcsr", k_hybrid))
-            if csr_cut is None:
-                from pygim_tpu.core.partition import strip_csr
-
-                csr_cut = strip_csr(
-                    csr, ~memo[("in_core", k_hybrid)], memo["rows_of"]
-                )
-                memo[("tailcsr", k_hybrid)] = csr_cut
+            keep = ~memo[("in_core", k_hybrid)]
         if halo_stats is None:
             # explicit memo check — setdefault would EVALUATE the
             # O(nnz log nnz) halo statistics on every call
             halo_stats = memo.get(hkey)
             if halo_stats is None:
-                halo_stats = halo_statistics(csr_cut, sp)
+                halo_stats = halo_statistics(csr, sp, keep=keep)
                 memo[hkey] = halo_stats
         rows = {
             "all_to_all": halo_stats["a2a_recv_rows"],
@@ -259,10 +256,12 @@ def plan_statistics(
         psum_bytes = rows * hidden * dtype_bytes
         n_collectives = sp - 1 if plan.exchange == "ring" else 1
         collective = plan.exchange
-        if k_hybrid and core_bytes > 0:
+        if k_hybrid and core_bytes > 0 and plan.exchange != "all_gather":
             # the hub-core's per-mul feature collection: every device
             # receives all ~k hub rows via one small all_gather
-            # (parallel/halo.py:core_add)
+            # (parallel/halo.py:core_add). The all_gather exchange pays
+            # nothing extra — it reuses its replicated x_full via a
+            # take (parallel/halo.py core path).
             psum_bytes += int(k_hybrid * hidden * dtype_bytes)
     else:
         psum_bytes = 0
@@ -275,13 +274,13 @@ def plan_statistics(
     if bcsr is not None and bcsr["n_tiles"]:
         tr, tc = config.bcsr_tile, 128
         slots, n_vb = bcsr["slots"], bcsr["n_vb"]
-        bcsr_store = slots * tr * tc * bcsr_item
+        bcsr_store = slots * tr * tc * bcsr_item // max(1, sp)
         bcsr_stream = (
             bcsr_store
-            + slots * tc * h_local * dtype_bytes
-            + 2 * n_vb * tr * h_local * dtype_bytes
+            + (slots * tc * h_local * dtype_bytes) // max(1, sp)
+            + (2 * n_vb * tr * h_local * dtype_bytes) // max(1, sp)
         )
-        bcsr_flops = 2 * slots * tr * tc * h_local
+        bcsr_flops = 2 * slots * tr * tc * h_local // max(1, sp)
 
     # rough per-device HBM residency, for the hbm budget cap: sparse
     # tables + core + tile store + x slice + output slice

@@ -217,7 +217,6 @@ def measure_ici_constants(
     import jax.numpy as jnp
     import numpy as np
     from jax.sharding import Mesh, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
 
     from pygim_tpu.utils.timers import device_time
 
@@ -235,9 +234,19 @@ def measure_ici_constants(
             pass
 
     mesh = Mesh(np.array(devs), ("sp",))
-    # check_vma=False: the replicated-output check can't be statically
-    # inferred for these micro-bodies (psum/all_gather ARE replicated)
-    sm = functools.partial(shard_map, mesh=mesh, check_rep=False)
+    # disable the replicated-output check: it can't be statically
+    # inferred for these micro-bodies (psum/all_gather ARE replicated).
+    # The public jax.shard_map names the flag check_vma; older releases
+    # only have the experimental entry point with check_rep.
+    try:
+        sm = functools.partial(
+            jax.shard_map, mesh=mesh, check_vma=False
+        )
+        sm(lambda: None, in_specs=(), out_specs=P())  # probe the kwargs
+    except TypeError:
+        from jax.experimental.shard_map import shard_map as _shard_map
+
+        sm = functools.partial(_shard_map, mesh=mesh, check_rep=False)
 
     def timed(fn, in_spec, out_spec, shape):
         x = jnp.ones(shape, dtype=jnp.float32)

@@ -88,7 +88,9 @@ def enumerate_dist(
     return plans
 
 
-def halo_statistics(csr: CsrGraph, nd: int) -> dict:
+def halo_statistics(
+    csr: CsrGraph, nd: int, keep: "np.ndarray | None" = None
+) -> dict:
     """Measured cut statistics of the contiguous ``nd``-way row partition.
 
     Returns the padded per-pair request size ``halo_k`` (the all_to_all
@@ -98,18 +100,26 @@ def halo_statistics(csr: CsrGraph, nd: int) -> dict:
     *actual* graph cut rather than a density heuristic (the TPU analog of
     dpu_prepare_xfer's exact per-rank transfer lists,
     backend_pim/spmm_default/spmm_mul_csr.c:277-329).
+
+    ``keep``: optional edge mask (storage order) — the cut of the masked
+    subgraph, WITHOUT materializing a stripped CSR copy (the hub-core
+    pricing path strips core edges this way per candidate core size).
     """
     n_pad = round_up(csr.nrows, nd)
     rpd = n_pad // nd
     rows_of = np.repeat(
         np.arange(csr.nrows, dtype=np.int64), np.diff(csr.rowptr)
     )
+    colind = csr.colind
+    if keep is not None:
+        rows_of = rows_of[keep]
+        colind = colind[keep]
     d_of = rows_of // rpd
-    owner = csr.colind.astype(np.int64) // rpd
+    owner = colind.astype(np.int64) // rpd
     remote = d_of != owner
     if remote.any():
         # unique (device, peer, col) triples -> per-pair request sizes
-        key = (d_of[remote] * nd + owner[remote]) * csr.ncols + csr.colind[
+        key = (d_of[remote] * nd + owner[remote]) * csr.ncols + colind[
             remote
         ].astype(np.int64)
         pair = np.unique(key) // csr.ncols
@@ -136,5 +146,7 @@ def halo_statistics(csr: CsrGraph, nd: int) -> dict:
         "ring_recv_rows": ring_rows,
         "ag_recv_rows": n_pad - rpd,
         "cut_rows_total": total_unique,
-        "local_edge_fraction": float((~remote).sum() / max(1, csr.nnz)),
+        "local_edge_fraction": float(
+            (~remote).sum() / max(1, rows_of.shape[0])
+        ),
     }

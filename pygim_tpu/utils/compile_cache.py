@@ -13,28 +13,27 @@ from __future__ import annotations
 import os
 
 _DEFAULT = "~/.cache/pygim_tpu/jaxcache"
-_enabled = False
+_enabled_dir: "str | None" = None
 
 
 def enable(cache_dir: str | None = None) -> bool:
     """Idempotently point JAX at the shared on-disk compile cache.
-    Returns False when the running JAX build doesn't support it."""
-    global _enabled
-    if _enabled:
-        return True
-    import jax
-
-    cache_dir = (
+    A later call with a DIFFERENT directory re-points it. Returns False
+    when the running JAX build doesn't support it."""
+    global _enabled_dir
+    cache_dir = os.path.expanduser(
         cache_dir
         or os.environ.get("PYGIM_TPU_JAX_CACHE")
         or _DEFAULT
     )
+    if _enabled_dir == cache_dir:
+        return True
+    import jax
+
     try:
-        jax.config.update(
-            "jax_compilation_cache_dir", os.path.expanduser(cache_dir)
-        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         return False
-    _enabled = True
+    _enabled_dir = cache_dir
     return True

@@ -54,10 +54,13 @@ def test_profiling_contexts_no_crash():
 def test_compile_cache_enable_idempotent(tmp_path, monkeypatch):
     import pygim_tpu.utils.compile_cache as cc
 
-    monkeypatch.setattr(cc, "_enabled", False)
+    monkeypatch.setattr(cc, "_enabled_dir", None)
     monkeypatch.setenv("PYGIM_TPU_JAX_CACHE", str(tmp_path / "jc"))
     assert cc.enable() is True
     assert cc.enable() is True  # second call is a no-op hit
     import jax
 
     assert jax.config.jax_compilation_cache_dir == str(tmp_path / "jc")
+    # a different directory RE-POINTS the cache (no silent stale hit)
+    assert cc.enable(str(tmp_path / "jc2")) is True
+    assert jax.config.jax_compilation_cache_dir == str(tmp_path / "jc2")
