@@ -144,6 +144,29 @@ def prepare_for_version(
     )
 
 
+def dpu_init_ranks(nr_ranks: int = 1, groups_per_rank: int = 1) -> list:
+    """Reference-parity shim for ``torch.ops.pim_ops.dpu_init_ranks``
+    (spmm_default/pytorch_api.cpp:154-164): the JAX runtime owns the
+    device pool, so allocation is a no-op. Returns the per-"rank" device
+    count list the grande scripts consume (grande.py:63-72) — here every
+    "rank" sees the whole mesh."""
+    import jax
+
+    return [len(jax.devices())] * max(1, int(nr_ranks))
+
+
+def dpu_init_dpus(nr_dpus: "int | None" = None) -> list:
+    """Shim for ``dpu_init_dpus`` — see :func:`dpu_init_ranks`."""
+    return dpu_init_ranks(1)
+
+
+def dpu_release() -> None:
+    """Shim for ``dpu_release`` — nothing to free (HBM arrays are
+    garbage-collected; the reference's explicit pool teardown,
+    pytorch_api.cpp:154-164, has no analog)."""
+    return None
+
+
 def describe_layout(prep) -> str:
     """Human/ledger-readable distribution of a prepared operand."""
     mesh = getattr(prep, "mesh", None)
@@ -161,4 +184,7 @@ __all__ = [
     "prepare_pim_spmv",
     "prepare_for_version",
     "describe_layout",
+    "dpu_init_ranks",
+    "dpu_init_dpus",
+    "dpu_release",
 ]

@@ -164,3 +164,15 @@ def test_train_cli_mesh(tmp_path, capsys):
     ])
     out = capsys.readouterr().out
     assert "[DATA]train_loss" in out
+
+
+def test_compat_dpu_pool_shims():
+    """Reference-scripted pool calls keep working as documented no-ops
+    (docs/MIGRATION.md): init returns a per-rank device-count list,
+    release returns None."""
+    from pygim_tpu import compat
+
+    ranks = compat.dpu_init_ranks(4)
+    assert len(ranks) == 4 and all(r >= 1 for r in ranks)
+    assert compat.dpu_init_dpus(64) == compat.dpu_init_ranks(1)
+    assert compat.dpu_release() is None
