@@ -664,7 +664,26 @@ class PreparedSpmmHalo:
                 d["local_vrow_to_row"], xp, iters=iters,
             ) * 1e3
             out["local_time(ms)"] = local
-            out["exchange_time(ms)"] = max(0.0, total - local)
+            core = 0.0
+            if self.hybrid_k_eff > 0:
+                # hub-core split: slab matmul + the hub-feature
+                # all_gather, alone (the reference's kernel-phase
+                # discipline applied to the tier)
+                def core_only(slab, own_hub, xl):
+                    x_loc = xl[0]
+                    hs = jnp.take(x_loc, own_hub[0], axis=0)
+                    hub_x = jax.lax.all_gather(hs, "nodes", tiled=True)
+                    return _core_matmul(slab[0], hub_x, jnp.float32)[None]
+
+                cfn = jax.jit(jax.shard_map(
+                    core_only, mesh=mesh, in_specs=(P("nodes"),) * 3,
+                    out_specs=P("nodes"),
+                ))
+                core = device_time(
+                    cfn, d["core_slab"], d["core_own"], xp, iters=iters,
+                ) * 1e3
+                out["core_time(ms)"] = core
+            out["exchange_time(ms)"] = max(0.0, total - local - core)
         else:
             def gather_only(xl):
                 xf = jax.lax.all_gather(xl[0], "nodes", tiled=True)

@@ -396,3 +396,22 @@ def test_train_step_over_halo_hybrid(rng):
     leaf0 = jax.tree_util.tree_leaves(model.params)[0]
     leaf1 = jax.tree_util.tree_leaves(params)[0]
     assert not np.allclose(np.asarray(leaf0), np.asarray(leaf1))
+
+
+def test_halo_hybrid_phase_times(rng):
+    """phase_times splits out the hub-core tier on hybrid halo preps."""
+    from pygim_tpu.core.graph import CooGraph
+
+    n = 96
+    r = np.concatenate([rng.integers(0, 12, 1200), rng.integers(0, n, 400)])
+    c = np.concatenate([rng.integers(0, 12, 1200), rng.integers(0, n, 400)])
+    coo = CooGraph.from_edges(r, c, nrows=n, ncols=n)
+    prep = prepare_spmm_halo(
+        coo, make_node_mesh(4), SpmmConfig(backend="hybrid", hybrid_k=12),
+        exchange="all_to_all",
+    )
+    x = jnp.asarray(rng.standard_normal((n, 8)), dtype=jnp.float32)
+    ph = prep.phase_times(x, iters=2)
+    assert {"mul_time(ms)", "local_time(ms)", "core_time(ms)",
+            "exchange_time(ms)"} <= set(ph)
+    assert ph["core_time(ms)"] >= 0
