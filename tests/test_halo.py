@@ -415,3 +415,26 @@ def test_halo_hybrid_phase_times(rng):
     assert {"mul_time(ms)", "local_time(ms)", "core_time(ms)",
             "exchange_time(ms)"} <= set(ph)
     assert ph["core_time(ms)"] >= 0
+
+
+@pytest.mark.parametrize("xdt", ["int8", "int32"])
+def test_halo_hybrid_integer_payload(rng, xdt):
+    """Quantized aggregation payloads stay EXACT through the halo layout
+    — the hub-core's s8/wide-int MXU paths and the ELL scans all operate
+    on integers (the model-level quantize→aggregate→dequantize route)."""
+    from pygim_tpu.core.graph import CooGraph
+
+    n = 96
+    r = np.concatenate([rng.integers(0, 12, 1000), rng.integers(0, n, 500)])
+    c = np.concatenate([rng.integers(0, 12, 1000), rng.integers(0, n, 500)])
+    coo = CooGraph.from_edges(
+        r, c, np.ones(1500, np.float32), nrows=n, ncols=n
+    )
+    prep = prepare_spmm_halo(
+        coo, make_node_mesh(4),
+        SpmmConfig(backend="hybrid", hybrid_k=12, hybrid_dtype="int8"),
+        exchange="all_to_all",
+    )
+    x = rng.integers(-4, 5, (n, 8)).astype(xdt)
+    out = np.asarray(prep.mul(jnp.asarray(x)))
+    np.testing.assert_array_equal(out.astype(np.int64), _dense_ref(coo, x))
