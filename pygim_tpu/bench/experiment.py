@@ -90,13 +90,46 @@ class Experiment:
             hidden_hint=self.hidden,
         )
 
+    def matches_legacy_stem(self, stem: str) -> bool:
+        """True when ``stem`` is a ledger name this experiment would have
+        produced under an OLDER field vintage. Legacy stems (pre
+        default-omission) wrote every then-existing field in sorted-key
+        order, so: every token present must match this experiment's
+        value exactly, and a field absent from the stem (it didn't exist
+        yet) must sit at its default here — old runs behaved as the
+        default behaves."""
+        d = dataclasses.asdict(self)
+        defaults = {
+            f.name: f.default for f in dataclasses.fields(Experiment)
+        }
+        rest = stem
+        for k in sorted(d):
+            tok = f"{k}-{d[k]}"
+            if rest == tok:
+                rest = ""
+            elif rest.startswith(tok + "_"):
+                rest = rest[len(tok) + 1:]
+            elif d[k] != defaults[k]:
+                return False  # non-default value missing from the stem
+        return rest == ""
+
     def status_at(self, results_dir) -> str:
-        """done | failed | todo (experiment.py:350-356)."""
+        """done | failed | todo (experiment.py:350-356). Probes the
+        current (defaults-omitted) stem first, then any legacy-vintage
+        stem in the ledger — so sweeps queued against a pre-round-2
+        ledger don't silently re-run completed experiments at
+        minutes-to-hours per TPU job."""
         stem = Path(results_dir) / self.frozen_name()
         if stem.with_suffix(".out").exists():
             return "done"
         if stem.with_suffix(".failed").exists():
             return "failed"
+        rd = Path(results_dir)
+        if rd.is_dir():
+            for p in rd.iterdir():
+                if p.suffix in (".out", ".failed") and \
+                        self.matches_legacy_stem(p.stem):
+                    return "done" if p.suffix == ".out" else "failed"
         return "todo"
 
     def run(self, results_dir, data_root: Optional[str] = None) -> dict:

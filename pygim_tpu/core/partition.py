@@ -369,7 +369,9 @@ def int_demote_slab(
     slab: np.ndarray, core_dtype: str
 ) -> tuple[np.ndarray, np.ndarray]:
     """Round a float32 core slab to the exact-integer range of the core
-    dtype (|c| ≤ 127 for int8, ≤ 7 for int4). Non-representable cells
+    dtype ([-128, 127] for int8, [-8, 7] for int4 — the two's-complement
+    minimum is representable; the nibble sign-extension in
+    ops/spmm.py:_nibble_halves handles -8). Non-representable cells
     are ZEROED; their row-major flat indices are returned so the caller
     demotes the matching edges back to the exact gather tail — the rule
     every hub-core builder shares (ops/spmm.py, parallel/spmm_2d.py,

@@ -77,7 +77,8 @@ class SpmmConfig:
                                            # 'bfloat16' halves core traffic;
                                            # 'int8' halves it again for
                                            # integer-valued graphs; 'int4'
-                                           # (nibble-packed, cells in ±7)
+                                           # (nibble-packed, cells in
+                                           # [-8, 7])
                                            # once more — k grows √2 per
                                            # halving)
     # hybrid BCSR middle tier: dense (bcsr_tile, 128) tiles in rank space
@@ -108,6 +109,11 @@ def blocked_spmm(colind, vals, rowloc, row_slot, x, rows_pad: int):
     ``x``: (ncols, H). Returns (nrows, H) in the accumulation dtype.
     """
     acc = accum_dtype(jnp.result_type(vals.dtype, x.dtype))
+    if x.shape[0] == 0 or colind.shape[0] == 0:
+        # zero-column or zero-edge shard: the padding indices in the
+        # tables would take() from an empty x axis — the product is
+        # exact zeros by definition
+        return jnp.zeros((row_slot.shape[0], x.shape[1]), acc)
 
     def body(_, blk):
         ci, v, rl = blk
@@ -177,6 +183,13 @@ def _ell_grouped_scan(x, cols2d, vals2d, vrow_to_row, chunk, degree,
     globally non-decreasing, so every slice is sorted too)."""
     h = x.shape[1]
     n_steps = cols2d.shape[0]
+    if n_steps == 0 or x.shape[0] == 0:
+        # zero-edge or zero-column shard: nothing to gather. The tables
+        # may still pad to ≥1 step, but a take() from a 0-row x raises
+        # (and x[0, 0]-style probes read out of bounds) — return exact
+        # zeros in the accumulation dtype, which part_fn.acc already
+        # derives from x's dtype in both callers.
+        return jnp.zeros((nrows, h), part_fn.acc) if out is None else out
     inner = _group_inner(n_steps, chunk * h * 4)
 
     def body(_, blk):
@@ -199,10 +212,6 @@ def _ell_grouped_scan(x, cols2d, vals2d, vrow_to_row, chunk, degree,
             out = out.at[rows].add(
                 seg.astype(out.dtype), indices_are_sorted=True
             )
-    if out is None:  # zero-edge shard: nothing to accumulate
-        out = jnp.zeros((nrows, h), part_fn.acc) + (x[0, 0] * 0).astype(
-            part_fn.acc
-        )
     return out
 
 
@@ -353,6 +362,21 @@ def _core_matmul(core, xq, acc):
             return _wide_int_core_dot(core, xq.astype(jnp.int32))
         return jnp.dot(
             core.astype(jnp.bfloat16), xq.astype(jnp.bfloat16),
+            preferred_element_type=acc,
+        )
+    if (
+        core.dtype == jnp.bfloat16
+        and jnp.issubdtype(xq.dtype, jnp.integer)
+        and xq.dtype != jnp.int8
+    ):
+        # Wide integer payload (int16/int32 quantization, |q| up to 2^19)
+        # on a bf16 core: bf16 integers are exact only to 2^8, so casting
+        # xq to the core dtype would degrade the dominant tier to ~2^-9
+        # relative precision while the tail stays exact-integer. Promote
+        # BOTH operands to f32 instead — core cells (≤127) and |q| ≤ 2^19
+        # are both f32-exact (f32 holds integers to 2^24).
+        return jnp.dot(
+            core.astype(jnp.float32), xq.astype(jnp.float32),
             preferred_element_type=acc,
         )
     return jnp.dot(core, xq.astype(core.dtype), preferred_element_type=acc)

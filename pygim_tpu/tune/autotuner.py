@@ -74,6 +74,23 @@ HYBRID_SPACE = (
 )
 
 
+def _in_core_mask(memo: dict, csr: CsrGraph, k: int) -> np.ndarray:
+    """O(nnz) boolean core-membership mask for core size ``k``. Only the
+    SINGLE most recent k's mask is retained (``memo["in_core_last"]``):
+    the default space produces many distinct k (4 budgets × 4 dtypes),
+    and retaining every mask would accumulate multiple GB of tuning RAM
+    at 100M+-edge scale — the same cost the halo-stats memo explicitly
+    avoids. Recomputing on a k revisit is O(nnz) from the memoized
+    rank/rows_of, cheap next to the halo statistics it feeds."""
+    last = memo.get("in_core_last")
+    if last is not None and last[0] == k:
+        return last[1]
+    rank, rows_of = memo["rank"], memo["rows_of"]
+    mask = (rank[rows_of] < k) & (rank[csr.colind] < k)
+    memo["in_core_last"] = (k, mask)
+    return mask
+
+
 def plan_statistics(
     csr: CsrGraph,
     hidden: int,
@@ -150,10 +167,9 @@ def plan_statistics(
             k_hybrid = k
             tail_deg = memo.get(("tail_deg", k))
             if tail_deg is None:
-                # the O(nnz) mask is the expensive part — compute it
-                # once per distinct k across the whole candidate loop
-                in_core = (rank[rows_of] < k) & (rank[csr.colind] < k)
-                memo[("in_core", k)] = in_core
+                # only the small per-k tail_deg persists in the memo;
+                # the O(nnz) mask lives in a single-slot cache
+                in_core = _in_core_mask(memo, csr, k)
                 tail_deg = np.bincount(
                     rows_of[~in_core], minlength=csr.nrows
                 ).astype(np.int64)
@@ -237,15 +253,19 @@ def plan_statistics(
         # dict is memoized per (sp, k) — a stripped-CSR copy per core
         # size would cost GBs of tuning RAM at 100M+ edges.
         hkey = ("halo", sp)
-        keep = None
         if k_hybrid and core_bytes > 0:
             hkey = ("halo", sp, k_hybrid)
-            keep = ~memo[("in_core", k_hybrid)]
         if halo_stats is None:
             # explicit memo check — setdefault would EVALUATE the
             # O(nnz log nnz) halo statistics on every call
             halo_stats = memo.get(hkey)
             if halo_stats is None:
+                # the O(nnz) mask is only materialized on a stats miss
+                keep = (
+                    ~_in_core_mask(memo, csr, k_hybrid)
+                    if k_hybrid and core_bytes > 0
+                    else None
+                )
                 halo_stats = halo_statistics(csr, sp, keep=keep)
                 memo[hkey] = halo_stats
         rows = {

@@ -1,5 +1,7 @@
 """Harness: [DATA] protocol, ledger semantics, sweep runner, CSV export."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -80,6 +82,38 @@ def test_frozen_name_stable():
     e = Experiment(dataset="tiny")
     assert e.frozen_name() == Experiment(dataset="tiny").frozen_name()
     assert e.frozen_name() != Experiment(dataset="small").frozen_name()
+
+
+def test_status_at_probes_legacy_stems(tmp_path):
+    """Pre-round-2 ledger entries carry FULL key-value names (no default
+    omission, and fewer fields — knobs were added over rounds). status_at
+    must recognize them so queued sweeps don't re-run completed
+    experiments at minutes-to-hours per TPU job."""
+    results = tmp_path / "results"
+    results.mkdir()
+    # a real round-1-vintage stem (copied shape from results/): sorted
+    # full key-value pairs of the fields that existed at the time
+    legacy = (
+        "backend-ell_balance-nnz_block_nnz_budget-131072_dataset-pubmed_"
+        "ds_parts-1_dtype-int32_hidden-256_kind-inference_model-gcn_"
+        "num_layers-2_repeat-2_sp_format-csr_sp_parts-1_tune-False"
+    )
+    (results / f"{legacy}.out").write_text("[DATA]infer_time(ms): 1.0\n")
+    e = Experiment(
+        dataset="pubmed", kind="inference", backend="ell", dtype="int32",
+        block_nnz_budget=131072, repeat=2,
+    )
+    assert e.frozen_name() != legacy  # defaults are omitted nowadays
+    assert e.status_at(results) == "done"
+    # a near-miss (different non-default value) must stay todo
+    other = dataclasses.replace(e, dtype="int8")
+    assert other.status_at(results) == "todo"
+    # a field the legacy stem predates must sit at its default to match
+    newer = dataclasses.replace(e, bcsr_bytes=1 << 20)
+    assert newer.status_at(results) == "todo"
+    # .failed legacy entries surface as failed
+    (results / f"{legacy}.out").rename(results / f"{legacy}.failed")
+    assert e.status_at(results) == "failed"
 
 
 def test_checkpoint_roundtrip(tmp_path):

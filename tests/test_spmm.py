@@ -27,6 +27,24 @@ def test_backend_matches_dense(rng, backend, dtype):
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_ell_zero_edge_zero_col_shard(rng):
+    """An empty shard with nrows>0 and ncols==0 (x has ZERO rows) must
+    return exact zeros in the accumulation dtype — the old fallback read
+    x[0, 0], which indexes out of bounds on a 0-size axis (JAX clamping
+    there yields garbage, not zeros; round-2 advisor finding)."""
+    from pygim_tpu.core.graph import CooGraph
+
+    coo = CooGraph.from_edges(
+        np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+        np.empty(0), nrows=7, ncols=0, dtype="float32",
+    )
+    for backend in ["ell", "blocked"]:
+        prep = prepare_spmm(coo, SpmmConfig(backend=backend))
+        out = np.asarray(prep.mul(np.zeros((0, 8), dtype=np.float32)))
+        assert out.shape == (7, 8)
+        assert (out == 0).all()
+
+
 def test_blocked_many_blocks_edge_cases(rng):
     # more blocks than needed; empty rows; single block
     coo = random_coo(rng, nrows=37, ncols=29, nnz=60)
@@ -197,6 +215,23 @@ def test_hybrid_int_rides_bf16_core(rng):
     with pytest.raises(ValueError):
         prepare_spmm(
             coo, SpmmConfig(backend="hybrid", hybrid_dtype="float32")
+        )
+
+
+def test_hybrid_bf16_core_wide_int_exact(rng):
+    """WIDE integer payloads (int16/int32 quantization, |q| well above
+    bf16's 2^8 exact-integer ceiling) through the DEFAULT bf16 core must
+    stay exact: the core dot promotes both operands to f32 (core cells
+    ≤127 and |q| ≤ 2^19 are both f32-exact) instead of degrading the
+    dominant tier to ~2^-9 relative precision (round-2 advisor repro:
+    max abs err 120 under the bf16 cast)."""
+    coo = random_coo(rng, nrows=100, ncols=100, nnz=1200, dtype="int32")
+    hyb = prepare_spmm(coo, SpmmConfig(backend="hybrid", hybrid_k=32))
+    assert hyb.config.hybrid_dtype == "bfloat16"
+    for dt, hi in ((np.int16, 1 << 10), (np.int32, 1 << 19)):
+        x = rng.integers(-hi, hi, size=(100, 16)).astype(dt)
+        np.testing.assert_allclose(
+            np.asarray(hyb.mul(x)), _dense_ref(coo, x), rtol=0, atol=0
         )
 
 
