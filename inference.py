@@ -58,6 +58,7 @@ def main(argv=None):
         ds = cluster_partition(ds, part_size=500_000, part_idx=1)
 
     cfg = None
+    tuned = None
     agg_dtype = None if args.data_type in ("float32", "float64") \
         else args.data_type
     if args.version == "cpu":
@@ -69,11 +70,30 @@ def main(argv=None):
             hidden_hint=args.hidden_size,
         )
         if args.tune:
+            import jax
+
             from pygim_tpu.tune import autotune
 
-            cfg = autotune(ds.graph, args.hidden_size).config
+            # the sp×ds budget is the tuner's device budget (capped by
+            # availability) — the tuner searches ALL its distribution
+            # axes (factorizations + halo exchanges), not just the
+            # single-chip config space
+            nd = min(
+                max(1, args.sp_parts * args.ds_parts), len(jax.devices())
+            )
+            tuned = autotune(
+                ds.graph, args.hidden_size, n_devices=nd,
+                layouts=("single", "2d", "halo"),
+            )
+            cfg = tuned.config
+            print(f"[DATA]tuned_plan: {tuned.plan.describe()}")
+            print(f"[DATA]tuned_constants: {tuned.constants}")
 
     def prepare_fn(graph, config):
+        if tuned is not None:
+            from pygim_tpu.tune import prepare_tuned
+
+            return prepare_tuned(graph, tuned)
         return prepare_for_version(
             args.version, graph, hidden_size=args.hidden_size,
             sp_parts=args.sp_parts, ds_parts=args.ds_parts,

@@ -9,10 +9,12 @@ The reference's 2D parallelization (SURVEY.md §2.3):
 * ``ds_parts`` — x and the output split by feature columns; no reduction
   (memcpy_2D concatenation, spmm_mul_csr.c:492-496 → pure ``ds`` sharding).
 
-Each (sp, ds) shard runs the same nnz-balanced blocked product as the
-single-chip backend (:func:`pygim_tpu.ops.spmm.blocked_spmm`) on its
-A column-part × feature-slice tile. x is sharded 2D — rows over ``sp``,
-features over ``ds`` — so the dense operand never exists replicated.
+Each (sp, ds) shard runs the grouped ELL formulation — the measured
+single-chip winner (:func:`pygim_tpu.ops.spmm.ell_scan_spmm`, fused
+gather+reduce over fixed-degree virtual rows) — on its A column-part ×
+feature-slice tile, with optional hub-core/BCSR tiers stacked on top.
+x is sharded 2D — rows over ``sp``, features over ``ds`` — so the dense
+operand never exists replicated.
 """
 
 from __future__ import annotations

@@ -380,6 +380,16 @@ class TuneResult:
     predicted_s: float
     measured_s: Optional[float]
     candidates: list  # (config_dict, plan_dict, predicted_s, measured_s|None)
+    # constants provenance: "datasheet" (no measurement informed the
+    # prediction), "measured:<platform>", optionally "+ici:<platform>x<n>"
+    # — a cpu tag means a VIRTUAL mesh calibrated the exchange pricing
+    # (relative choices only, not absolute times)
+    constants: str = "datasheet"
+    # measure-mode candidates that raised during prepare/run, as
+    # (config_dict, plan_dict, "ExcType: message") — recorded, never
+    # silently dropped: a genuine bug in a candidate must be visible,
+    # not scored as "infeasible"
+    skipped: list = dataclasses.field(default_factory=list)
 
 
 def prepare_tuned(graph, result: TuneResult, devices=None):
@@ -500,6 +510,8 @@ def autotune(
                     predicted_s=d["predicted_s"],
                     measured_s=d.get("measured_s"),
                     candidates=d["candidates"],
+                    constants=d.get("constants", "datasheet"),
+                    skipped=d.get("skipped", []),
                 )
             except Exception:
                 pass
@@ -603,12 +615,15 @@ def autotune(
         )
 
     measured: dict = {}
+    skipped: list = []
     if mode == "measure":
+        import logging
         import time
 
         import jax
         import jax.numpy as jnp
 
+        log = logging.getLogger("pygim_tpu.tune")
         avail = len(jax.devices())
         cands = [
             (p, d) for p, d, _ in scored if d.n_devices <= avail
@@ -627,9 +642,17 @@ def autotune(
                 for _ in range(repeats):
                     out = prep.mul(x)
                 float(red(out))
-            except Exception:
-                # infeasible candidate (e.g. int8 core range guard, OOM):
-                # skip it — the harness's .failed discipline, in-process
+            except Exception as e:
+                # infeasible candidate (e.g. int8 core range guard, OOM)
+                # OR a genuine bug in its prepare/run — the harness's
+                # .failed discipline, in-process: log it and record it
+                # in the result so it's never silently scored away
+                err = f"{type(e).__name__}: {e}"
+                log.warning(
+                    "measure-mode candidate skipped: %s %s — %s",
+                    point, dataclasses.asdict(dist), err,
+                )
+                skipped.append((point, dataclasses.asdict(dist), err))
                 continue
             measured[_mkey(point, dist)] = (time.time() - t0) / repeats
 
@@ -653,6 +676,8 @@ def autotune(
             (p, dataclasses.asdict(d), t, measured.get(_mkey(p, d)))
             for p, d, t in scored
         ],
+        constants=(model or TpuCostModel.default()).provenance,
+        skipped=skipped,
     )
     if use_cache and key is not None:
         _CACHE_DIR.mkdir(parents=True, exist_ok=True)
@@ -664,6 +689,8 @@ def autotune(
                     "predicted_s": result.predicted_s,
                     "measured_s": result.measured_s,
                     "candidates": result.candidates,
+                    "constants": result.constants,
+                    "skipped": result.skipped,
                 }
             )
         )

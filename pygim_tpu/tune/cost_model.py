@@ -58,12 +58,23 @@ class TpuCostModel:
     # {"psum", "all_gather", "all_to_all", "ring"}. None = price every
     # collective at the datasheet ici_bw (the pre-calibration behavior).
     coll: Optional[dict] = None
+    # where the constants came from — surfaced in TuneResult so a tuner
+    # decision can be audited: "datasheet" (no measurement ran),
+    # "measured:<platform>" (on-device microbenchmark), optionally
+    # "+ici:<platform>x<n>" when per-collective constants were measured.
+    # A cpu platform tag means a VIRTUAL mesh calibrated the exchange
+    # pricing — useful for relative choices, not absolute times.
+    provenance: str = "datasheet"
 
     @classmethod
     def default(cls) -> "TpuCostModel":
         if _CACHE.exists():
             try:
-                return cls(**json.loads(_CACHE.read_text()))
+                d = json.loads(_CACHE.read_text())
+                # pre-provenance cache files were written by
+                # measure_constants — they ARE measured
+                d.setdefault("provenance", "measured:cached")
+                return cls(**d)
             except Exception:
                 pass
         return cls(**_DEFAULTS)
@@ -94,7 +105,13 @@ class TpuCostModel:
             coll = measure_ici_constants(n_devices, save=True)
         except Exception:
             return base
-        return dataclasses.replace(base, coll=coll)
+        meta = coll.get("__meta", {})
+        tag = (
+            f"+ici:{meta.get('platform', '?')}x{meta.get('n_devices', n_devices)}"
+        )
+        return dataclasses.replace(
+            base, coll=coll, provenance=base.provenance + tag
+        )
 
 
 def predict_spmm_time(stats: dict, model: Optional[TpuCostModel] = None) -> float:
@@ -302,6 +319,10 @@ def measure_ici_constants(
             bw = v2 / max(1e-9, t2)
             fixed = 0.0
         out[name] = {"bw": float(bw), "fixed_us": float(fixed * 1e6)}
+    # provenance metadata (not a collective name — consumers look up
+    # specific names only): records WHICH backend calibrated these; a
+    # "cpu" platform means a virtual mesh priced the exchanges
+    out["__meta"] = {"platform": platform, "n_devices": nd}
     if save:
         path.parent.mkdir(parents=True, exist_ok=True)
         path.write_text(json.dumps(out))
@@ -340,6 +361,7 @@ def measure_constants(
         gather_eff=min(1.0, gather_bw / hbm),
         stream_eff=min(1.0, stream_bw / hbm),
         fixed_us=_DEFAULTS["fixed_us"],
+        provenance=f"measured:{jax.devices()[0].platform}",
     )
     if save:
         _CACHE.parent.mkdir(parents=True, exist_ok=True)

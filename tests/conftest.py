@@ -15,6 +15,11 @@ import tempfile
 # include code versions — a stale cache from an older builder would mask
 # builder changes (and tests must not pollute the user's real cache)
 os.environ["PYGIM_TPU_DATA"] = tempfile.mkdtemp(prefix="pygim_test_cache_")
+# same for the tuner's result/constants cache (resolved at import time):
+# tests must neither read stale tuner picks nor pollute the user's cache
+os.environ["PYGIM_TPU_TUNE_CACHE"] = tempfile.mkdtemp(
+    prefix="pygim_test_tune_"
+)
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:

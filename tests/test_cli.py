@@ -33,6 +33,42 @@ def test_spmm_test_cli_mesh_fallback(tmp_path, capsys):
     assert "running single-chip" in out
 
 
+def test_spmm_test_cli_tune_searches_distribution(tmp_path, capsys):
+    """--tune with an sp×ds budget searches the tuner's DISTRIBUTION
+    axes (factorizations + halo exchanges) and runs the picked plan via
+    prepare_tuned — not just the single-chip config space (the round-2
+    gap: the CLI called autotune with the default n_devices=1)."""
+    spmm_test.main([
+        "--dataset", "tiny", "--hidden_size", "16", "--repeat", "1",
+        "--data_type", "float32", "--data_root", str(tmp_path),
+        "--tune", "--sp_parts", "4", "--ds_parts", "2",
+    ])
+    out = capsys.readouterr().out
+    assert "[DATA]tuned_plan: " in out
+    assert "[DATA]tuned_constants: " in out
+    # the model picks a multi-device plan here (gather bytes split over
+    # the mesh beat the extra dispatch), and the run must use it
+    plan = out.split("[DATA]tuned_plan: ")[1].splitlines()[0]
+    layout = out.split("[DATA]layout: ")[1].splitlines()[0]
+    assert plan != "single-chip"
+    assert layout != "single-chip", (plan, layout)
+    assert "[DATA]pim_time_spmm(ms)" in out
+    assert "[DATA]verify: OK" in out
+
+
+def test_inference_cli_tune_multidevice(tmp_path, capsys):
+    """inference --tune routes through the same distribution search."""
+    inference.main([
+        "--dataset", "tiny", "--hidden_size", "16", "--repeat", "1",
+        "--data_type", "float32", "--data_root", str(tmp_path),
+        "--tune", "--sp_parts", "4", "--ds_parts", "2",
+    ])
+    out = capsys.readouterr().out
+    assert "[DATA]tuned_plan: " in out
+    assert out.split("[DATA]layout: ")[1].splitlines()[0] != "single-chip"
+    assert "[DATA]infer_time(ms)" in out
+
+
 def test_spmm_test_cli_unknown_dataset(tmp_path):
     with pytest.raises(SystemExit):
         spmm_test.main(["--dataset", "nope", "--data_root", str(tmp_path)])

@@ -346,6 +346,43 @@ class TestDistTuning:
             repeats=1,
         )
         assert res.measured_s is not None and res.measured_s > 0
+        # constants provenance is surfaced: the cpu tag makes clear a
+        # VIRTUAL mesh calibrated the exchange pricing (VERDICT r2 #7)
+        assert res.constants.endswith("+ici:cpux4")
+
+    def test_measure_mode_reports_broken_candidates(
+        self, rng, tmp_path, monkeypatch
+    ):
+        """A candidate whose prepare/run raises must be RECORDED in
+        TuneResult.skipped (and logged), never silently scored as
+        infeasible — a genuine bug would otherwise vanish (VERDICT r2
+        weak #4)."""
+        monkeypatch.setenv("PYGIM_TPU_TUNE_CACHE", str(tmp_path))
+        import pygim_tpu.tune.autotuner as at
+        import pygim_tpu.tune.cost_model as cm
+
+        monkeypatch.setattr(
+            cm, "measure_constants",
+            lambda save=True, **kw: cm.TpuCostModel(**cm._DEFAULTS),
+        )
+        monkeypatch.setattr(cm, "_CACHE", tmp_path / "tpu_constants.json")
+
+        def broken(graph, result, devices=None):
+            raise RuntimeError("deliberately broken candidate")
+
+        monkeypatch.setattr(at, "prepare_tuned", broken)
+        coo = self._block_diag(rng, n=256, nd=4)
+        res = at.autotune(
+            coo, hidden=8, n_devices=4, use_cache=False, mode="measure",
+            repeats=1,
+        )
+        # every top-3 candidate raised: no measurement, model fallback —
+        # and all three failures are visible with their exceptions
+        assert res.measured_s is None
+        assert len(res.skipped) == 3
+        for _point, dist, err in res.skipped:
+            assert isinstance(dist, dict) and "layout" in dist
+            assert err == "RuntimeError: deliberately broken candidate"
 
 
 class TestPhaseTimes:
@@ -435,14 +472,22 @@ class TestIciConstants:
 
         monkeypatch.setattr(cm, "_CACHE", tmp_path / "tpu_constants.json")
         coll = cm.measure_ici_constants(8)
-        assert set(coll) == {"psum", "all_gather", "all_to_all", "ring"}
-        for v in coll.values():
+        assert set(coll) == {
+            "psum", "all_gather", "all_to_all", "ring", "__meta",
+        }
+        # provenance metadata: records the calibrating backend so a
+        # virtual-mesh calibration is distinguishable from real ICI
+        assert coll["__meta"] == {"platform": "cpu", "n_devices": 8}
+        for name in ("psum", "all_gather", "all_to_all", "ring"):
+            v = coll[name]
             assert v["bw"] > 0 and v["fixed_us"] >= 0
         # persisted per (platform, device count); second call is a hit
         assert (tmp_path / "ici-cpu-n8.json").exists()
         assert cm.measure_ici_constants(8) == coll
         m = cm.TpuCostModel.for_topology(8)
         assert m.coll == coll
+        assert m.provenance.endswith("+ici:cpux8")
+        assert m.provenance.startswith("measured:")
 
     def test_predict_uses_collective_constants(self):
         import dataclasses
