@@ -48,6 +48,10 @@ def run_spmm_benchmark(
     ``prepare_fn(graph, config) -> prep`` overrides the default dispatch
     (used by the entry scripts' ``--version`` routing, compat.py)."""
     rep = reporter or DataReporter()
+    # synthetic stand-ins must be distinguishable from real graphs in every
+    # ledger record (VERDICT r2: accuracy/time on a *-sim graph is not a
+    # real-dataset claim)
+    rep.report("data_source", "synthetic" if ds.synthetic else "real")
     rng = np.random.default_rng(0)
     graph = ds.graph
     if dtype.startswith("int"):
@@ -181,6 +185,7 @@ def run_inference_benchmark(
     reference — SURVEY.md §5.4) model. ``prepare_fn(graph, config)``
     overrides the default dispatch (``--version`` routing, compat.py)."""
     rep = reporter or DataReporter()
+    rep.report("data_source", "synthetic" if ds.synthetic else "real")
     graph = ds.graph
     x = jnp.asarray(ds.x, dtype=jnp.float32)
 

@@ -262,7 +262,11 @@ def load_dataset(
         raise KeyError(
             f"unknown dataset {name!r}; known: {sorted(DATASET_SPECS)}"
         )
-    real = _try_real_dataset(name, root)
+    from pygim_tpu.data.real import try_load_real
+
+    # PyG-free direct parsers first (work from raw files alone), then the
+    # torch_geometric/ogb path if those packages happen to be importable
+    real = try_load_real(name, root) or _try_real_dataset(name, root)
     if real is not None:
         return real
     path = _cache_path(name + "-sim", root)

@@ -58,5 +58,12 @@ class DataReporter:
         if self.echo:
             data_print(key, value)
 
-    def means(self) -> dict[str, float]:
-        return mean_data(dict(self.records))
+    def means(self) -> dict:
+        """Numeric keys averaged over repeats; string keys (layout, verify,
+        data_source) pass through as their last value so provenance
+        survives into in-process result dicts, not just the ledger."""
+        res = mean_data(dict(self.records))
+        for k, vs in self.records.items():
+            if k not in res and vs:
+                res[k] = vs[-1]
+        return res
