@@ -37,7 +37,7 @@ class Experiment:
     block/backend knobs."""
 
     dataset: str = "pubmed"
-    kind: str = "spmm"            # spmm | inference | scaling
+    kind: str = "spmm"            # spmm | inference | scaling | training
     model: str = "gcn"
     num_layers: int = 2
     hidden: int = 256
@@ -59,6 +59,8 @@ class Experiment:
                                        # forward, not the raw SpMM
     phases: bool = False               # spmm kind: per-phase [DATA] times
     validate: bool = False             # inference kind: per-layer check
+    epochs: int = 50                   # training kind
+    lr: float = 0.01                   # training kind
     repeat: int = 3
     tune: bool = False
 
@@ -191,6 +193,14 @@ class Experiment:
                     agg_dtype=(
                         None if self.dtype == "float32" else self.dtype
                     ),
+                )
+            elif self.kind == "training":
+                from pygim_tpu.bench.runners import run_training_benchmark
+
+                run_training_benchmark(
+                    ds, model=self.model, num_layers=self.num_layers,
+                    hidden=self.hidden, config=cfg, epochs=self.epochs,
+                    lr=self.lr, reporter=rep, mesh=mesh,
                 )
             else:
                 raise ValueError(f"unknown kind {self.kind!r}")

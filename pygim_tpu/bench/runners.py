@@ -248,6 +248,130 @@ def run_inference_benchmark(
     return rep.means()
 
 
+def run_training_benchmark(
+    ds: GraphDataset,
+    *,
+    model: str = "gcn",
+    num_layers: int = 2,
+    hidden: int = 256,
+    config: Optional[SpmmConfig] = None,
+    epochs: int = 50,
+    lr: float = 1e-2,
+    seed: int = 0,
+    reporter: Optional[DataReporter] = None,
+    mesh=None,
+    prepare_fn=None,
+    parity: bool = True,
+    acc_tol: float = 0.01,
+) -> dict:
+    """Trained-accuracy parity (beyond the reference, which only reports
+    untrained accuracy — inference.py:27-41): train the SAME initialization
+    with the SAME rng schedule twice, once aggregating through the TPU
+    backend under test and once through the jnp oracle, then assert
+
+    * final test accuracy matches within ``acc_tol`` (both paths learned
+      the same function — the strongest end-to-end correctness signal), and
+    * the trained model's per-layer activations are allclose under both
+      aggregates (validate_model).
+
+    The two runs differ ONLY in the aggregate implementation; dropout
+    masks, init, and the optimizer schedule are bit-identical.
+    """
+    import dataclasses as _dc
+
+    import optax
+
+    from pygim_tpu.nn.models import gnn_apply
+    from pygim_tpu.nn.train import make_train_step_threaded
+
+    rep = reporter or DataReporter()
+    rep.report("data_source", "synthetic" if ds.synthetic else "real")
+    graph = ds.graph
+    x = jnp.asarray(ds.x, dtype=jnp.float32)
+    labels = jnp.asarray(ds.y.astype(np.int32))
+    train_mask = jnp.asarray(ds.train_mask.astype(np.float32))
+
+    if prepare_fn is not None:
+        prep = prepare_fn(graph, config)
+    elif mesh is not None:
+        from pygim_tpu.parallel import prepare_spmm_2d
+
+        prep = prepare_spmm_2d(graph, mesh, config)
+    else:
+        prep = prepare_spmm(graph, config or SpmmConfig())
+    from pygim_tpu.compat import describe_layout
+
+    rep.report("layout", describe_layout(prep))
+
+    gnn = make_gnn(
+        jax.random.key(seed), model, ds.x.shape[1], hidden,
+        ds.num_classes, num_layers=num_layers,
+    )
+    optimizer = optax.adam(lr)
+
+    def train(prep_):
+        step, dev = make_train_step_threaded(gnn, prep_, optimizer)
+        jit_step = jax.jit(step)
+        params, opt_state = gnn.params, optimizer.init(gnn.params)
+        loss = None
+        for epoch in range(epochs):
+            params, opt_state, loss = jit_step(
+                params, opt_state, x, labels, train_mask,
+                jax.random.key(seed * 100_003 + epoch), dev,
+            )
+        return params, float(loss)
+
+    t0 = time.perf_counter()
+    params, loss = train(prep)
+    rep.report("train_time(ms)", (time.perf_counter() - t0) * 1e3)
+    rep.report("train_loss", loss)
+    logits = np.asarray(
+        gnn_apply(
+            params, x, prep.mul, conv=gnn.conv, num_layers=num_layers,
+            dropout_rate=gnn.dropout, agg_dtype=None, training=False,
+        )
+    )
+    acc = evaluate_predictions(ds, logits)
+    rep.report("test_acc", acc)
+
+    if parity:
+        oracle = prepare_spmm(graph, SpmmConfig(backend="oracle"))
+        params_o, loss_o = train(oracle)
+        rep.report("oracle_train_loss", loss_o)
+        logits_o = np.asarray(
+            gnn_apply(
+                params_o, x, oracle.mul, conv=gnn.conv,
+                num_layers=num_layers, dropout_rate=gnn.dropout,
+                agg_dtype=None, training=False,
+            )
+        )
+        acc_o = evaluate_predictions(ds, logits_o)
+        rep.report("oracle_test_acc", acc_o)
+        rep.report("acc_delta", abs(acc - acc_o))
+        # per-layer activations of the TRAINED model under both aggregates
+        from pygim_tpu.bench.validate import JittedAggregate, validate_model
+
+        cfg = getattr(prep, "config", None)
+        loose = cfg is not None and cfg.backend == "hybrid" and (
+            cfg.hybrid_dtype in ("bfloat16", "int8", "int4")
+        )
+        trained = _dc.replace(gnn, params=params)
+        ok = validate_model(
+            trained, x, JittedAggregate(prep), oracle.mul, reporter=rep,
+            rtol=1e-2 if loose else 1e-4, atol=1e-2 if loose else 1e-4,
+        )
+        if not ok:
+            raise AssertionError(
+                "trained-model per-layer validation failed vs oracle"
+            )
+        if abs(acc - acc_o) > acc_tol:
+            raise AssertionError(
+                f"trained accuracy diverged: backend {acc:.4f} vs oracle "
+                f"{acc_o:.4f} (tol {acc_tol})"
+            )
+    return rep.means()
+
+
 def evaluate_predictions(ds: GraphDataset, logits: np.ndarray) -> float:
     """Task metric on the test split — accuracy by default; ROC-AUC or
     micro-F1 per dataset, mirroring the reference's OGB Evaluator /

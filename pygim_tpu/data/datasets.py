@@ -140,6 +140,45 @@ def _synthesize_block(name: str, n: int, e: int, b: int, seed=0):
     )
 
 
+def _synthesize_planted(name: str, n: int, e: int, c: int, seed=0):
+    """Planted-partition synthetic with LEARNABLE structure: labels are
+    communities, 90% of edges are intra-class (homophily), features are a
+    noisy class signature. A 2-layer GCN trains to high accuracy — the
+    dataset behind the trained-accuracy parity experiments (the random-
+    label R-MAT stand-ins are unlearnable by construction, so accuracy
+    there is an integration signal only)."""
+    rng = np.random.default_rng(seed)
+    c = max(2, c)
+    y = rng.integers(0, c, n).astype(np.int32)
+    e_in = int(e * 0.9)
+    # intra-class edges: pick a class per edge (weighted by class size),
+    # then two members of it — vectorized via per-class member tables
+    members = [np.where(y == k)[0] for k in range(c)]
+    sizes = np.array([len(m) for m in members])
+    ok = sizes > 0
+    probs = np.where(ok, sizes, 0) / sizes[ok].sum()
+    cls = rng.choice(c, e_in, p=probs)
+    r_in = np.empty(e_in, dtype=np.int64)
+    c_in = np.empty(e_in, dtype=np.int64)
+    for k in range(c):
+        m = cls == k
+        if m.any() and len(members[k]):
+            r_in[m] = rng.choice(members[k], m.sum())
+            c_in[m] = rng.choice(members[k], m.sum())
+    rows = np.concatenate([r_in, rng.integers(0, n, e - e_in)])
+    cols = np.concatenate([c_in, rng.integers(0, n, e - e_in)])
+    f = 32
+    sig = rng.standard_normal((c, f)).astype(np.float32)
+    x = sig[y] + 1.5 * rng.standard_normal((n, f)).astype(np.float32)
+    train = np.zeros(n, dtype=bool)
+    train[rng.choice(n, max(1, n // 10), replace=False)] = True
+    graph = CooGraph.from_edges(rows, cols, nrows=n, ncols=n, dtype="float32")
+    return GraphDataset(
+        name=name, graph=graph, x=x, y=y, train_mask=train,
+        test_mask=~train, num_classes=c, synthetic=True,
+    )
+
+
 def _cache_path(name: str, root: str) -> Path:
     return Path(root) / f"{name}.npz"
 
@@ -238,6 +277,12 @@ def load_dataset(
         # docs/PERF.md block-ELL study).
         _, ns, es, bs = name.split("-")
         return _synthesize_block(name, int(ns), int(es), int(bs), seed)
+    if name.startswith("planted-"):
+        # learnable synthetic 'planted-<n>-<e>-<classes>': homophilous
+        # planted partition + class-signature features (training parity
+        # experiments)
+        _, ns, es, cs = name.split("-")
+        return _synthesize_planted(name, int(ns), int(es), int(cs), seed)
     if name.endswith(".mtx"):
         # SuiteSparse matrices as datasets (reference spmm_test.py:82
         # '--dataset pkustk08.mtx'): graph from the file, synthetic
