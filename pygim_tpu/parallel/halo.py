@@ -24,7 +24,11 @@ Two exchange strategies, selectable per graph (an autotuner axis):
 The hybrid backend adds a row-sharded dense hub-core on top of any
 exchange: device-local (kp, nd·kp) slabs multiply an all_gathered hub
 feature buffer on the MXU, and core edges leave the tail (and its halo
-requests) at prepare.
+requests) at prepare. With ``bcsr_bytes > 0`` the BCSR tile tier mines
+each device's IN-BAND edges (band-local rank space, so panel gathers
+never leave ``x_loc``) — the full three-tier backend composes with every
+exchange, as every parallelization composes with every format in the
+reference (utils/experiment.py:146-171).
 
 All index plumbing is precomputed on host at prepare time (prepare-once /
 run-many, SURVEY.md §1 invariant).
@@ -47,6 +51,12 @@ from pygim_tpu.core.partition import (
     round_up,
 )
 from pygim_tpu.ops.spmm import SpmmConfig, _core_matmul, ell_scan_spmm
+
+
+_BCSR_KEYS = (
+    "bcsr_tiles", "bcsr_panel_idx", "bcsr_vblock_to_rb",
+    "bcsr_panel_nodes", "bcsr_row_nodes",
+)
 
 
 def make_node_mesh(n_devices: int, devices=None) -> Mesh:
@@ -102,12 +112,8 @@ class PreparedSpmmHalo:
         # shrink too. Stripping returns the tail csr.
         self.hybrid_k_eff = 0
         self._core_dev = {}
+        self.has_bcsr = False
         if config.backend == "hybrid":
-            if config.bcsr_bytes > 0:
-                raise ValueError(
-                    "the BCSR tile tier is not supported on the halo "
-                    "layout (use the 2d mesh or single-chip path)"
-                )
             csr = self._plan_core_halo(csr, config)
 
         # --- host-side partition: rows (and x rows) by contiguous range ---
@@ -136,6 +142,12 @@ class PreparedSpmmHalo:
                     ncols=csr.ncols,
                 )
             )
+
+        if config.backend == "hybrid" and config.bcsr_bytes > 0:
+            # BCSR middle tier BEFORE exchange planning: captured edges
+            # leave the ELL tails (they are in-band, so halo requests are
+            # unaffected by construction)
+            self._plan_bcsr_halo(parts, bounds, config)
 
         if exchange in ("all_to_all", "ring"):
             self._plan_all_to_all(parts, bounds)
@@ -275,6 +287,131 @@ class PreparedSpmmHalo:
         from pygim_tpu.core.partition import strip_csr
 
         return strip_csr(csr, ~in_core, rows_of)
+
+    def _plan_bcsr_halo(self, parts, bounds, config: SpmmConfig):
+        """BCSR tile tier on the halo layout — the `_plan_bcsr_2d` trick
+        transposed to row bands (VERDICT r2 item 4).
+
+        Each device mines tiles from its IN-BAND edges (both endpoints in
+        its own row range): rows and panels are ranked by the band
+        subgraph's degree (optionally re-ordered by RCM/label-prop via
+        ``tail_tile_order``), so a (128, H) panel gather touches only
+        ``x_loc`` rows the device already holds — no exchange interaction
+        at all. Captured edges are stripped from the ELL tail parts in
+        place. On a locality-clustered partition (``order=...``) most
+        edges are in-band, which is exactly where tile capture lives
+        (docs/PERF.md "Tile ordering on latent-community graphs").
+        Out-of-band (halo) edges stay in the halo ELL tail: their tiles
+        would have to gather from the exchange buffer, whose layout
+        differs per exchange and whose rows are already minimal
+        (request lists are deduped) — no panel locality to mine.
+        """
+        from pygim_tpu.core.bcsr import (
+            TILE_COLS,
+            build_bcsr_tiles,
+            tail_tile_order,
+        )
+        from pygim_tpu.core.partition import strip_csr
+
+        nd, rpd = self.nd, self.rows_per_dev
+        core_dtype = config.hybrid_dtype or "float32"
+        bdt = (
+            "bfloat16" if core_dtype in ("bfloat16", "int8") else "float32"
+        )
+        tr, tc = config.bcsr_tile, TILE_COLS
+
+        bcs, captured = [], 0
+        for d, p in enumerate(parts):
+            lo, _hi = bounds[d]
+            rows_of = np.repeat(
+                np.arange(p.nrows, dtype=np.int64), np.diff(p.rowptr)
+            )
+            local = (p.colind >= lo) & (p.colind < lo + rpd)
+            rr_n = rows_of[local]
+            cc_n = p.colind[local].astype(np.int64) - lo
+            if rr_n.size == 0:
+                bcs.append(None)
+                continue
+            # band rank: in-band degree (out + in), densest rows first —
+            # the same degree heuristic as the hub-core, restricted to
+            # this band's subgraph
+            deg = (
+                np.bincount(rr_n, minlength=rpd)
+                + np.bincount(cc_n, minlength=rpd)
+            )
+            order = np.argsort(-deg).astype(np.int64)
+            rank = np.empty(rpd, dtype=np.int64)
+            rank[order] = np.arange(rpd)
+            if config.bcsr_order in ("rcm", "lp"):
+                order, rank = tail_tile_order(
+                    rr_n, cc_n, order, rank, 0, rpd, config.bcsr_order,
+                )
+            bc, in_tile = build_bcsr_tiles(
+                rank[rr_n], rank[cc_n], p.vals[local], order,
+                n=rpd, tile_rows=tr, budget_bytes=config.bcsr_bytes,
+                hidden=config.hidden_hint, dtype=bdt,
+                min_edges=config.bcsr_min_edges,
+            )
+            if bc is not None:
+                strip = np.zeros(p.colind.shape[0], dtype=bool)
+                strip[np.flatnonzero(local)[in_tile]] = True
+                parts[d] = strip_csr(p, ~strip, rows_of)
+                captured += bc.n_edges
+            bcs.append(bc)
+        if captured == 0:
+            return
+
+        # ---- pad per-device tables to one static shape (P("nodes")) ----
+        s_max = max(bc.tiles_per_vblock for bc in bcs if bc is not None)
+        step = max(1, (8 << 20) // max(
+            1, s_max * tc * config.hidden_hint * 4
+        ))
+        n_vb_max = max(
+            (bc.tiles.shape[0] for bc in bcs if bc is not None), default=1
+        )
+        step = min(step, n_vb_max)
+        n_vb_pad = round_up(n_vb_max, step)
+        np_max = max(
+            (bc.panel_nodes.shape[0] for bc in bcs if bc is not None),
+            default=tc,
+        )
+        nr_max = max(
+            (bc.row_nodes.shape[0] for bc in bcs if bc is not None),
+            default=tr,
+        )
+        np_tiles = np.zeros(
+            (nd, n_vb_pad, s_max, tr, tc),
+            dtype=next(b for b in bcs if b is not None).tiles.dtype,
+        )
+        np_pidx = np.zeros((nd, n_vb_pad, s_max), dtype=np.int32)
+        np_vb2rb = np.zeros((nd, n_vb_pad), dtype=np.int32)
+        # padding gathers row 0 (zero tiles → zero partials); padded row
+        # targets scatter-add zeros into the LAST local row
+        np_pnodes = np.zeros((nd, np_max), dtype=np.int32)
+        np_rnodes = np.full((nd, nr_max), rpd - 1, dtype=np.int32)
+        for d, bc in enumerate(bcs):
+            if bc is None:
+                continue
+            nv, sv = bc.tiles.shape[0], bc.tiles_per_vblock
+            np_tiles[d, :nv, :sv] = bc.tiles
+            np_pidx[d, :nv, :sv] = bc.panel_idx
+            n_rb = bc.row_nodes.shape[0] // tr
+            np_vb2rb[d] = n_rb - 1  # padded vblocks target the last rb
+            np_vb2rb[d, :nv] = bc.vblock_to_rb
+            np_pnodes[d, : bc.panel_nodes.shape[0]] = bc.panel_nodes
+            np_rnodes[d, : bc.row_nodes.shape[0]] = bc.row_nodes
+        sh = NamedSharding(self.mesh, P("nodes"))
+        self._bcsr_dev = {
+            "bcsr_tiles": jax.device_put(np_tiles, sh),
+            "bcsr_panel_idx": jax.device_put(np_pidx, sh),
+            "bcsr_vblock_to_rb": jax.device_put(np_vb2rb, sh),
+            "bcsr_panel_nodes": jax.device_put(np_pnodes, sh),
+            "bcsr_row_nodes": jax.device_put(np_rnodes, sh),
+        }
+        self._core_dev.update(self._bcsr_dev)
+        self.has_bcsr = True
+        self.bcsr_step = step
+        self.bcsr_edges = captured
 
     def _ell_tables(self, parts, ncols_local_fn):
         """Shared-shape fixed-degree ELL tables per device part (the ell
@@ -445,6 +582,24 @@ class PreparedSpmmHalo:
         rpd = self.rows_per_dev
         chunk, degree = self.row_chunk, self.ell_degree
         hybrid = self.hybrid_k_eff > 0
+        has_bcsr = self.has_bcsr
+        b_step = self.bcsr_step if has_bcsr else 0
+        n_core_args = 2 if hybrid else 0
+
+        def bcsr_add(out, x_loc, tiles_, pidx, vb2rb, pnodes, rnodes):
+            # in-band tile tier: panels gather from x_loc only (planned
+            # that way), partials scatter into the local out carry
+            from pygim_tpu.ops.spmm import bcsr_scan_spmm
+
+            wide = (
+                jnp.issubdtype(x_loc.dtype, jnp.integer)
+                and x_loc.dtype != jnp.int8
+            )  # wide ints exceed bf16's exact range (single-chip choice)
+            return bcsr_scan_spmm(
+                x_loc, pnodes[0], tiles_[0], pidx[0], vb2rb[0], rnodes[0],
+                out, b_step,
+                compute_dtype=jnp.float32 if wide else None,
+            )
 
         def core_add(out, x_loc, slab, own_hub):
             # one small all_gather collects every device's (kp, H) hub
@@ -457,7 +612,7 @@ class PreparedSpmmHalo:
 
         if self.exchange == "all_gather":
 
-            def local_fn(cols2d, vals2d, vrow_to_row, x_local, *core):
+            def local_fn(cols2d, vals2d, vrow_to_row, x_local, *rest):
                 x_full = jax.lax.all_gather(
                     x_local[0], "nodes", tiled=True
                 )
@@ -468,15 +623,19 @@ class PreparedSpmmHalo:
                 if hybrid:
                     # x_full already holds every hub row — assemble the
                     # gathered-order buffer with a take, no 2nd collective
-                    slab, own_hub, buf_nodes = core
+                    slab, own_hub, buf_nodes = rest[:3]
                     hub_x = jnp.take(x_full, buf_nodes, axis=0)
                     co = _core_matmul(slab[0], hub_x, jnp.float32)
                     out = out.at[own_hub[0]].add(co.astype(out.dtype))
+                if has_bcsr:
+                    out = bcsr_add(
+                        out, x_local[0], *rest[3 if hybrid else 0:]
+                    )
                 return out[None]
 
             in_specs = (P("nodes"),) * 4 + (
                 (P("nodes"), P("nodes"), P()) if hybrid else ()
-            )
+            ) + ((P("nodes"),) * 5 if has_bcsr else ())
 
             def runner(dev, xp):
                 args = [dev["cols2d"], dev["vals2d"], dev["vrow_to_row"], xp]
@@ -485,6 +644,8 @@ class PreparedSpmmHalo:
                         dev["core_slab"], dev["core_own"],
                         dev["core_buf_nodes"],
                     ]
+                if has_bcsr:
+                    args += [dev[k] for k in _BCSR_KEYS]
                 return jax.shard_map(
                     local_fn, mesh=mesh, in_specs=in_specs,
                     out_specs=P("nodes"),
@@ -520,10 +681,19 @@ class PreparedSpmmHalo:
                         halo, hcols[0], hvals[0], hvrow[0], hc, hd, rpd
                     )
                 if hybrid:
-                    out = core_add(out, x_loc, *rest[n_shift + 1 :])
+                    out = core_add(
+                        out, x_loc,
+                        *rest[n_shift + 1 : n_shift + 3],
+                    )
+                if has_bcsr:
+                    out = bcsr_add(
+                        out, x_loc, *rest[n_shift + 1 + n_core_args :]
+                    )
                 return out[None]
 
-            in_specs = (P("nodes"),) * (7 + nd - 1 + (2 if hybrid else 0))
+            in_specs = (P("nodes"),) * (
+                7 + nd - 1 + n_core_args + (5 if has_bcsr else 0)
+            )
 
             def runner(dev, xp):
                 args = [
@@ -535,6 +705,8 @@ class PreparedSpmmHalo:
                 ]
                 if hybrid:
                     args += [dev["core_slab"], dev["core_own"]]
+                if has_bcsr:
+                    args += [dev[k] for k in _BCSR_KEYS]
                 return jax.shard_map(
                     local_fn, mesh=mesh, in_specs=in_specs,
                     out_specs=P("nodes"),
@@ -547,7 +719,7 @@ class PreparedSpmmHalo:
 
             def local_fn(
                 lcols, lvals, lvrow, hcols, hvals, hvrow, send_idx,
-                x_local, *core
+                x_local, *rest
             ):
                 x_loc = x_local[0]                     # (rpd, H)
                 # start the exchange: rows each peer requested
@@ -568,10 +740,14 @@ class PreparedSpmmHalo:
                     hc, hd, rpd,
                 )
                 if hybrid:
-                    out = core_add(out, x_loc, *core)
+                    out = core_add(out, x_loc, *rest[:2])
+                if has_bcsr:
+                    out = bcsr_add(out, x_loc, *rest[n_core_args:])
                 return out[None]
 
-            in_specs = (P("nodes"),) * (8 + (2 if hybrid else 0))
+            in_specs = (P("nodes"),) * (
+                8 + n_core_args + (5 if has_bcsr else 0)
+            )
 
             def runner(dev, xp):
                 args = [
@@ -582,6 +758,8 @@ class PreparedSpmmHalo:
                 ]
                 if hybrid:
                     args += [dev["core_slab"], dev["core_own"]]
+                if has_bcsr:
+                    args += [dev[k] for k in _BCSR_KEYS]
                 return jax.shard_map(
                     local_fn, mesh=mesh, in_specs=in_specs,
                     out_specs=P("nodes"),
@@ -683,7 +861,33 @@ class PreparedSpmmHalo:
                     cfn, d["core_slab"], d["core_own"], xp, iters=iters,
                 ) * 1e3
                 out["core_time(ms)"] = core
-            out["exchange_time(ms)"] = max(0.0, total - local - core)
+            bcsr = 0.0
+            if self.has_bcsr:
+                b_step = self.bcsr_step
+
+                def bcsr_only(tiles_, pidx, vb2rb, pnodes, rnodes, xl):
+                    from pygim_tpu.ops.spmm import bcsr_scan_spmm
+
+                    x_loc = xl[0]
+                    carry = jnp.zeros(
+                        (rpd, x_loc.shape[1]), jnp.float32
+                    )
+                    return bcsr_scan_spmm(
+                        x_loc, pnodes[0], tiles_[0], pidx[0], vb2rb[0],
+                        rnodes[0], carry, b_step,
+                    )[None]
+
+                bfn = jax.jit(jax.shard_map(
+                    bcsr_only, mesh=mesh, in_specs=(P("nodes"),) * 6,
+                    out_specs=P("nodes"),
+                ))
+                bcsr = device_time(
+                    bfn, *[d[k] for k in _BCSR_KEYS], xp, iters=iters,
+                ) * 1e3
+                out["bcsr_time(ms)"] = bcsr
+            out["exchange_time(ms)"] = max(
+                0.0, total - local - core - bcsr
+            )
         else:
             def gather_only(xl):
                 xf = jax.lax.all_gather(xl[0], "nodes", tiled=True)

@@ -175,13 +175,21 @@ def plan_statistics(
                 ).astype(np.int64)
                 memo[("tail_deg", k)] = tail_deg
             deg = tail_deg
-            if config.bcsr_bytes > 0 and plan.layout in ("single", "2d"):
+            if config.bcsr_bytes > 0 and plan.layout in (
+                "single", "2d", "halo",
+            ):
                 # BCSR middle tier: price tile capture with the sampled
                 # structure probe (tune/bcsr_probe.py); captured edges
                 # leave the ELL tail uniformly in the model. The 2D
                 # tier's per-shard column ranking captures ~the same
                 # tiles split over sp shards (parallel/spmm_2d.py), so
-                # its per-device terms divide by sp below.
+                # its per-device terms divide by sp below. The halo tier
+                # mines only IN-BAND tiles (parallel/halo.py
+                # _plan_bcsr_halo) — on locality-ordered partitions the
+                # dense tiles sit inside communities (= in-band), so the
+                # global probe is the right estimate there; an unordered
+                # random partition over-credits capture by the out-of-
+                # band tile fraction.
                 from pygim_tpu.tune.bcsr_probe import bcsr_statistics
 
                 # tiles store bf16 alongside bf16/int8 cores, f32
@@ -535,11 +543,10 @@ def autotune(
         for point in points:
             cfg = SpmmConfig(**point)
             # the halo path aggregates with ELL + an optional hub-core
-            # (row-sharded slabs) but no BCSR tier; the 2d path
+            # (row-sharded slabs) + the in-band BCSR tier; the 2d path
             # implements ell + hybrid — skip unbuildable combos
-            if dist.layout == "halo" and (
-                cfg.backend not in ("ell", "hybrid")
-                or cfg.bcsr_bytes > 0
+            if dist.layout == "halo" and cfg.backend not in (
+                "ell", "hybrid",
             ):
                 continue
             if dist.layout == "2d" and cfg.backend not in ("ell", "hybrid"):

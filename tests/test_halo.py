@@ -335,13 +335,115 @@ class TestHaloHybridCore:
             rtol=1e-4, atol=1e-4,
         )
 
-    def test_bcsr_rejected(self, rng):
-        coo = self._hub_coo(rng)
-        with pytest.raises(ValueError, match="BCSR"):
-            prepare_spmm_halo(
-                coo, make_node_mesh(2),
-                SpmmConfig(backend="hybrid", bcsr_bytes=1 << 20),
-            )
+    def _community_coo(self, rng, n=512, blk=128, deg=12, shuffle=False):
+        from pygim_tpu.core.graph import CooGraph
+
+        rows = np.repeat(np.arange(n), deg)
+        cols = (rows // blk) * blk + rng.integers(0, blk, rows.size)
+        if shuffle:
+            relabel = rng.permutation(n)
+            rows, cols = relabel[rows], relabel[cols]
+        return CooGraph.from_edges(
+            rows, cols, rng.standard_normal(rows.size), nrows=n, ncols=n
+        )
+
+    @pytest.mark.parametrize("exchange", ["all_gather", "all_to_all", "ring"])
+    def test_bcsr_matches_dense(self, rng, exchange):
+        """BCSR tier on the halo layout (VERDICT r2 item 4): in-band tiles
+        with band-local rank space — panel gathers only touch x_loc;
+        captured edges leave the ELL tails."""
+        coo = self._community_coo(rng)
+        x = rng.standard_normal((coo.nrows, 24)).astype(np.float32)
+        prep = prepare_spmm_halo(
+            coo, make_node_mesh(4),
+            SpmmConfig(
+                backend="hybrid", hybrid_k=32, bcsr_bytes=8 << 20,
+                bcsr_tile=8, bcsr_min_edges=2,
+            ),
+            exchange=exchange,
+        )
+        assert prep.has_bcsr and prep.bcsr_edges > 0
+        np.testing.assert_allclose(
+            np.asarray(prep.mul(jnp.asarray(x))), _dense_ref(coo, x),
+            rtol=1e-4, atol=1e-4,
+        )
+
+    def test_bcsr_with_locality_order(self, rng):
+        """On a scrambled community graph, the locality clustering makes
+        the communities in-band again — the tier captures there."""
+        coo = self._community_coo(rng, shuffle=True)
+        x = rng.standard_normal((coo.nrows, 16)).astype(np.float32)
+        prep = prepare_spmm_halo(
+            coo, make_node_mesh(4),
+            SpmmConfig(
+                backend="hybrid", hybrid_k=32, bcsr_bytes=8 << 20,
+                bcsr_tile=8, bcsr_min_edges=2, bcsr_order="lp",
+            ),
+            exchange="ring", order="lp",
+        )
+        assert prep.has_bcsr and prep.bcsr_edges > 0
+        np.testing.assert_allclose(
+            np.asarray(prep.mul(jnp.asarray(x))), _dense_ref(coo, x),
+            rtol=1e-4, atol=1e-4,
+        )
+
+    def test_bcsr_shrinks_local_tail(self, rng):
+        """Captured edges leave the local ELL tail; halo requests are
+        untouched by construction (tiles are in-band)."""
+        coo = self._community_coo(rng)
+        cfg = dict(backend="hybrid", hybrid_k=0, bcsr_tile=8,
+                   bcsr_min_edges=2)
+        mesh = make_node_mesh(4)
+        plain = prepare_spmm_halo(
+            coo, mesh, SpmmConfig(bcsr_bytes=0, **cfg)
+        )
+        tiered = prepare_spmm_halo(
+            coo, mesh, SpmmConfig(bcsr_bytes=8 << 20, **cfg)
+        )
+        assert tiered.has_bcsr
+        # same halo buffer (requests unchanged), fewer local ELL edges
+        # (tables pad to a fixed chunk — count real entries, not size)
+        assert tiered.halo_k == plain.halo_k
+        assert (
+            np.count_nonzero(np.asarray(tiered.dev_arrays["local_vals2d"]))
+            < np.count_nonzero(np.asarray(plain.dev_arrays["local_vals2d"]))
+        )
+
+    def test_bcsr_integer_payload_exact(self, rng):
+        """int32 quantization payloads stay exact through the halo BCSR
+        tier (wide ints route through the f32 compute dtype)."""
+        coo = self._community_coo(rng)
+        import dataclasses as _dc
+
+        coo = _dc.replace(
+            coo, vals=rng.integers(-3, 4, coo.nnz).astype(np.float32)
+        )
+        xq = rng.integers(-(2 ** 12), 2 ** 12, (coo.nrows, 16))
+        prep = prepare_spmm_halo(
+            coo, make_node_mesh(4),
+            SpmmConfig(
+                backend="hybrid", hybrid_k=0, bcsr_bytes=8 << 20,
+                bcsr_tile=8, bcsr_min_edges=2,
+            ),
+        )
+        assert prep.has_bcsr
+        out = np.asarray(prep.mul(jnp.asarray(xq, dtype=jnp.int32)))
+        ref = coo.to_dense().astype(np.int64) @ xq
+        np.testing.assert_array_equal(out.astype(np.int64), ref)
+
+    def test_bcsr_phase_times(self, rng):
+        coo = self._community_coo(rng)
+        x = rng.standard_normal((coo.nrows, 16)).astype(np.float32)
+        prep = prepare_spmm_halo(
+            coo, make_node_mesh(4),
+            SpmmConfig(
+                backend="hybrid", hybrid_k=32, bcsr_bytes=8 << 20,
+                bcsr_tile=8, bcsr_min_edges=2,
+            ),
+        )
+        assert prep.has_bcsr
+        ph = prep.phase_times(jnp.asarray(x), iters=1)
+        assert "bcsr_time(ms)" in ph and ph["bcsr_time(ms)"] >= 0
 
     def test_tuner_offers_halo_hybrid(self, rng, tmp_path, monkeypatch):
         monkeypatch.setenv("PYGIM_TPU_TUNE_CACHE", str(tmp_path))
@@ -354,6 +456,31 @@ class TestHaloHybridCore:
         )
         assert any(
             p.get("backend") == "hybrid" for p, _, _, _ in res.candidates
+        )
+
+    def test_tuner_prices_halo_bcsr(self, rng, tmp_path, monkeypatch):
+        """Halo candidates with bcsr_bytes > 0 are PRICED, not skipped
+        (VERDICT r2 item 4): the tier now builds on the halo layout."""
+        monkeypatch.setenv("PYGIM_TPU_TUNE_CACHE", str(tmp_path))
+        from pygim_tpu.tune import autotune
+        from pygim_tpu.tune.space import For, Product
+
+        coo = self._community_coo(rng)
+        space = (
+            For("backend", ["hybrid"])
+            * For("hybrid_k", [32])
+            * For("bcsr_bytes", [8 << 20])
+            * For("bcsr_tile", [8])
+            * For("bcsr_min_edges", [2])
+        )
+        res = autotune(
+            coo, hidden=32, n_devices=4, layouts=("halo",),
+            space=space, use_cache=False,
+        )
+        assert res.candidates, "halo+bcsr candidates were all skipped"
+        assert any(
+            p.get("bcsr_bytes", 0) > 0 and d.get("layout") == "halo"
+            for p, d, _, _ in res.candidates
         )
 
 
