@@ -31,7 +31,10 @@ _f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
 
 def _build() -> Optional[Path]:
     so = _NATIVE_DIR / _LIB_NAME
-    if so.exists() and so.stat().st_mtime >= (_NATIVE_DIR / "planner.cpp").stat().st_mtime:
+    if so.exists() and all(
+        so.stat().st_mtime >= (_NATIVE_DIR / src).stat().st_mtime
+        for src in ("planner.cpp", "partition_ml.cpp")
+    ):
         return so
     try:
         subprocess.run(
@@ -100,6 +103,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _i64p, ctypes.c_int64,
     ]
     lib.core_build_bands.restype = ctypes.c_int64
+    lib.partition_kway.argtypes = [
+        ctypes.c_int32, _i32p, _i32p, ctypes.c_int32, ctypes.c_float,
+        ctypes.c_int32, _i32p,
+    ]
+    lib.partition_kway.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -241,6 +249,29 @@ def core_build_banded(rows, cols, vals, rank, k: int, core_dtype: str,
     # thread append order is non-deterministic — sort for a stable result
     bad_flat = np.sort(bad_buf[: int(total)].copy())
     return core, tail_mask, bad_flat
+
+
+def partition_kway_native(rowptr, colind, nparts: int, tol: float = 0.03,
+                          seed: int = 0):
+    """Multilevel k-way partition (native/partition_ml.cpp — the METIS
+    capability the reference uses via ClusterData, reference
+    inference.py:64-73). Returns ``(part, edge_cut)`` where ``part`` is
+    the int32 membership array over the SYMMETRIZED simple graph and
+    ``edge_cut`` its achieved undirected cut; None if the library is
+    unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    rowptr = np.ascontiguousarray(rowptr, np.int32)
+    colind = np.ascontiguousarray(colind, np.int32)
+    n = rowptr.shape[0] - 1
+    part = np.empty(n, dtype=np.int32)
+    cut = lib.partition_kway(
+        n, rowptr, colind, int(nparts), float(tol), int(seed), part
+    )
+    if cut < 0:
+        return None
+    return part, int(cut)
 
 
 def f32_to_bf16_bits(a: np.ndarray) -> np.ndarray:

@@ -343,6 +343,9 @@ def cluster_partition(
     * ``"rcm"`` / ``"lp"`` — cluster by a locality order first
       (core/cluster.py), so each part is a genuine community/low-cut
       cluster on graphs whose node ids carry no locality.
+    * ``"metis"`` — the real thing: multilevel k-way partition
+      (core/cluster.py ``partition_kway``, native/partition_ml.cpp),
+      matching the reference's METIS ClusterData quality.
     """
     n = ds.num_nodes
     nparts = max(1, -(-n // part_size))
@@ -350,6 +353,24 @@ def cluster_partition(
     lo = part_idx * part_size
     hi = min(n, lo + part_size)
     g = ds.graph
+    if method == "metis" and nparts > 1:
+        from pygim_tpu.core.cluster import partition_kway
+
+        part = partition_kway(g, nparts)
+        nodes = np.flatnonzero(part == part_idx)
+        pos = np.full(n, -1, dtype=np.int64)
+        pos[nodes] = np.arange(nodes.size)
+        mask = (pos[g.rows] >= 0) & (pos[g.cols] >= 0)
+        sub = CooGraph.from_edges(
+            pos[g.rows[mask]], pos[g.cols[mask]], g.vals[mask],
+            nrows=nodes.size, ncols=nodes.size,
+        )
+        return GraphDataset(
+            name=f"{ds.name}-part{part_idx}", graph=sub, x=ds.x[nodes],
+            y=ds.y[nodes], train_mask=ds.train_mask[nodes],
+            test_mask=ds.test_mask[nodes], num_classes=ds.num_classes,
+            synthetic=ds.synthetic,
+        )
     if method != "none":
         from pygim_tpu.core.cluster import locality_order
 

@@ -89,9 +89,17 @@ class PreparedSpmmHalo:
         # still takes and returns ORIGINAL-order arrays (one in-jit
         # gather each way)
         if isinstance(order, str):
-            from pygim_tpu.core.cluster import locality_order
+            if order == "metis":
+                # multilevel k-way partition into nd parts, nodes sorted
+                # by part: each device's contiguous row range becomes a
+                # low-cut cluster (core/cluster.py partition_order)
+                from pygim_tpu.core.cluster import partition_order
 
-            order = locality_order(graph, method=order)
+                order = partition_order(graph, nd)
+            else:
+                from pygim_tpu.core.cluster import locality_order
+
+                order = locality_order(graph, method=order)
         self.order = order
         if order is not None:
             from pygim_tpu.core.cluster import relabel
