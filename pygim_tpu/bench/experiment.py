@@ -55,6 +55,9 @@ class Experiment:
     bcsr_order: str = "rank"           # BCSR ordering (rank | rcm | lp)
     bcsr_layout: str = "row"           # BCSR scheduling (row | panel)
     exchange: str = "all_to_all"       # scaling kind: halo exchange
+    cluster: str = ""                  # scaling kind: node order for the
+                                       # halo partition ("", rcm, lp,
+                                       # metis — core/cluster.py)
     scale_model: bool = False          # scaling kind: time the FULL model
                                        # forward, not the raw SpMM
     phases: bool = False               # spmm kind: per-phase [DATA] times
@@ -193,6 +196,7 @@ class Experiment:
                     agg_dtype=(
                         None if self.dtype == "float32" else self.dtype
                     ),
+                    order=self.cluster or None,
                 )
             elif self.kind == "training":
                 from pygim_tpu.bench.runners import run_training_benchmark

@@ -33,6 +33,7 @@ def run_scaling_benchmark(
     model: Optional[str] = None,
     num_layers: int = 2,
     agg_dtype: Optional[str] = None,
+    order: Optional[str] = None,
 ) -> dict:
     """``model=None`` times the raw SpMM at each device count (the
     per-multiply scaling curve); ``model="gcn"|"sage"|"gin"`` times the
@@ -61,8 +62,14 @@ def run_scaling_benchmark(
             prep = prepare_spmm(graph, config or SpmmConfig(backend="ell"))
         else:
             prep = prepare_spmm_halo(
-                graph, make_node_mesh(n), config, exchange=exchange
+                graph, make_node_mesh(n), config, exchange=exchange,
+                order=order,
             )
+            # exchange volume: the partition's cut (unique remote rows,
+            # pre-padding) and the padded per-device halo buffer — what
+            # a locality/metis order shrinks (core/cluster.py)
+            rep.report(f"halo_request_rows_n{n}", prep.request_rows)
+            rep.report(f"halo_buffer_rows_n{n}", prep.halo_k)
         if model is None:
             dt = device_time(prep.mul, x, iters=repeat)
             eps = graph.nnz / dt

@@ -466,6 +466,8 @@ class PreparedSpmmHalo:
 
     def _plan_all_gather(self, parts):
         # colind stays global; each shard gathers from the replicated x
+        self.halo_k = self.n_pad  # every device receives all rows
+        self.request_rows = (self.nd - 1) * self.rows_per_dev * self.nd
         self._dev = self._ell_tables(parts, None)
 
     def _plan_all_to_all(self, parts, bounds):
@@ -479,6 +481,11 @@ class PreparedSpmmHalo:
                 cols = np.unique(p.colind[owner == peer])
                 req.append(cols if peer != d else cols[:0])
             requests.append(req)
+        # the partition's actual cut volume (unique remote rows summed
+        # over devices, pre-padding) — what a locality order minimizes
+        self.request_rows = sum(
+            len(r) for req in requests for r in req
+        )
         ring = self.exchange == "ring"
         if ring:
             # RING exchange: nd-1 ppermute shifts, each with its OWN

@@ -101,6 +101,20 @@ def test_halo_metis_order_matches_oracle():
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_metis_order_shrinks_halo_exchange():
+    """The partitioner's point on the halo layout: a community-aware
+    order must cut the exchanged-row volume on clustered graphs."""
+    from pygim_tpu.parallel.halo import make_node_mesh, prepare_spmm_halo
+
+    g = _planted(n=4096, blocks=16, deg=8)
+    mesh = make_node_mesh(4)
+    base = prepare_spmm_halo(g, mesh, exchange="ring")
+    ordered = prepare_spmm_halo(g, mesh, exchange="ring", order="metis")
+    assert ordered.request_rows < 0.7 * base.request_rows, (
+        ordered.request_rows, base.request_rows,
+    )
+
+
 def test_cluster_partition_metis_method():
     ds = load_dataset("rmat-4096-32768")
     from pygim_tpu.data.datasets import cluster_partition
