@@ -90,15 +90,17 @@ def main():
     )
 
     backend = os.environ.get("PYGIM_BENCH_BACKEND", "hybrid")
-    # Candidate ladder, best-predicted first (tuner, docs/PERF.md):
-    # the nibble-packed int4 core at 8 GiB doubles hub rank per HBM byte
-    # over int8 (reddit predicted 95.6 ms vs the measured 145 ms bf16
-    # 12 GiB); integer-core candidates only apply to integer-VALUED
-    # adjacencies (cells are exact small ints; non-representable cells
-    # demote to the exact ELL tail at prepare). The float payload rides
-    # bf16 on the MXU either way. To stay honest against model error,
-    # the first PYGIM_BENCH_MEASURE_TOP surviving candidates are
-    # MEASURED and the best wins; explicit env pins collapse to one.
+    # Candidate ladder, measured-best first. Round-3 measurement settled
+    # the round-2 prediction: the nibble-packed int4 core at 8 GiB runs
+    # 362 ms/iter vs 143.7 ms for the bf16 12 GiB core on reddit f32
+    # h256 — for FLOAT payloads the int core must be unpacked/converted
+    # to bf16 every multiply and the larger hub rank k pays quadratic
+    # MXU flops (2·256·k²), so packed cores only win for integer
+    # payloads where the tail gather shrink dominates (products int8:
+    # 2.24 s int4 vs 2.52 s int8, docs/PERF.md E8). To stay honest
+    # against residual model error, the first PYGIM_BENCH_MEASURE_TOP
+    # surviving candidates are MEASURED and the best wins; explicit env
+    # pins collapse to one.
     env_dt = os.environ.get("PYGIM_BENCH_CORE_DTYPE")
     env_b = os.environ.get("PYGIM_BENCH_CORE_BYTES")
     if env_dt or env_b:
@@ -106,8 +108,9 @@ def main():
         measure_top = 1
     else:
         attempts = [
-            ("int4", 8 << 30),        # tuner-predicted winner
-            ("bfloat16", 12 << 30),   # the measured round-1/2 headline
+            ("bfloat16", 12 << 30),   # the measured headline (824 GB/s)
+            ("int4", 8 << 30),        # measured 362 ms — kept as the
+                                      # honesty check, warm-cached
             ("int8", 12 << 30),
             ("bfloat16", 8 << 30),
             ("bfloat16", 4 << 30),

@@ -88,8 +88,35 @@ class PreparedSpmmHalo:
         # reordered space so contiguous ranges have small cuts; mul()
         # still takes and returns ORIGINAL-order arrays (one in-jit
         # gather each way)
+        self.order_choice = order if isinstance(order, str) else None
         if isinstance(order, str):
-            if order == "metis":
+            if order == "auto":
+                # measure, don't assume: R-MAT-style graphs carry
+                # locality in their ids (metis WORSENS the reddit-sim
+                # cut, 0.85 vs 0.76 contiguous — round-3 measurement)
+                # while community graphs cut 3-8x with it. Partition,
+                # compare cuts, keep the better layout.
+                from pygim_tpu.core.cluster import (
+                    edge_cut_fraction,
+                    partition_kway,
+                )
+
+                part = partition_kway(graph, nd)
+                contig = (
+                    np.arange(graph.nrows, dtype=np.int64) * nd
+                    // graph.nrows
+                ).astype(np.int32)
+                if edge_cut_fraction(graph, part) < 0.95 * (
+                    edge_cut_fraction(graph, contig)
+                ):
+                    order = np.argsort(part, kind="stable").astype(
+                        np.int64
+                    )
+                    self.order_choice = "metis"
+                else:
+                    order = None
+                    self.order_choice = "none"
+            elif order == "metis":
                 # multilevel k-way partition into nd parts, nodes sorted
                 # by part: each device's contiguous row range becomes a
                 # low-cut cluster (core/cluster.py partition_order)

