@@ -260,9 +260,9 @@ def plan_statistics(
         # stripped tail for hybrid candidates. Only the (small) stats
         # dict is memoized per (sp, k) — a stripped-CSR copy per core
         # size would cost GBs of tuning RAM at 100M+ edges.
-        hkey = ("halo", sp)
+        hkey = ("halo", sp, plan.order)
         if k_hybrid and core_bytes > 0:
-            hkey = ("halo", sp, k_hybrid)
+            hkey = ("halo", sp, plan.order, k_hybrid)
         if halo_stats is None:
             # explicit memo check — setdefault would EVALUATE the
             # O(nnz log nnz) halo statistics on every call
@@ -274,7 +274,19 @@ def plan_statistics(
                     if k_hybrid and core_bytes > 0
                     else None
                 )
-                halo_stats = halo_statistics(csr, sp, keep=keep)
+                dev_of = None
+                if plan.order == "metis":
+                    # one partitioner run per device count, shared by
+                    # every (config, exchange) candidate at this nd
+                    dev_of = memo.get(("metis_part", sp))
+                    if dev_of is None:
+                        from pygim_tpu.core.cluster import partition_kway
+
+                        dev_of = partition_kway(csr, sp)
+                        memo[("metis_part", sp)] = dev_of
+                halo_stats = halo_statistics(
+                    csr, sp, keep=keep, dev_of=dev_of
+                )
                 memo[hkey] = halo_stats
         rows = {
             "all_to_all": halo_stats["a2a_recv_rows"],
@@ -427,6 +439,7 @@ def prepare_tuned(graph, result: TuneResult, devices=None):
         make_node_mesh(plan.sp, devices),
         result.config,
         exchange=plan.exchange,
+        order=None if plan.order == "none" else plan.order,
     )
 
 

@@ -38,6 +38,8 @@ class DistPlan:
     ``sp``/``ds``: rank-grid shape (2d); halo uses sp=n_devices, ds=1.
     ``exchange``: halo feature-exchange strategy.
     ``scatter_output``: 2d reduce-scatter variant.
+    ``order``: halo node layout — "none" (contiguous ids) or "metis"
+    (multilevel k-way partition order, core/cluster.py).
     """
 
     layout: str = "single"
@@ -45,6 +47,7 @@ class DistPlan:
     ds: int = 1
     exchange: str = "all_to_all"
     scatter_output: bool = False
+    order: str = "none"
 
     @property
     def n_devices(self) -> int:
@@ -56,17 +59,21 @@ class DistPlan:
         if self.layout == "2d":
             tag = "+scatter" if self.scatter_output else ""
             return f"2d sp={self.sp} ds={self.ds}{tag}"
-        return f"halo nd={self.sp} exchange={self.exchange}"
+        otag = "" if self.order == "none" else f" order={self.order}"
+        return f"halo nd={self.sp} exchange={self.exchange}{otag}"
 
 
 def enumerate_dist(
-    n_devices: int, layouts: tuple = ("single", "2d", "halo")
+    n_devices: int, layouts: tuple = ("single", "2d", "halo"),
+    orders: tuple = ("none", "metis"),
 ) -> list[DistPlan]:
     """All distribution candidates for an ``n_devices`` budget.
 
     The reference enumerated its sp_ds_set explicitly
     (utils/autotuner.py:259); here every factorization of the device
-    count is a candidate, plus both halo exchanges.
+    count is a candidate, plus every halo exchange × node-order pair
+    (the metis order is priced from its ACTUAL cut — one partitioner
+    run per device count, memoized across candidates).
     """
     plans: list[DistPlan] = []
     if n_devices <= 1:
@@ -82,14 +89,20 @@ def enumerate_dist(
             if sp > 1:
                 plans.append(DistPlan("2d", sp, ds, scatter_output=True))
     if "halo" in layouts:
-        plans.append(DistPlan("halo", n_devices, 1, exchange="all_gather"))
-        plans.append(DistPlan("halo", n_devices, 1, exchange="all_to_all"))
-        plans.append(DistPlan("halo", n_devices, 1, exchange="ring"))
+        for order in orders:
+            for ex in ("all_gather", "all_to_all", "ring"):
+                if ex == "all_gather" and order != "none":
+                    continue  # all_gather volume is order-independent
+                plans.append(
+                    DistPlan("halo", n_devices, 1, exchange=ex,
+                             order=order)
+                )
     return plans
 
 
 def halo_statistics(
-    csr: CsrGraph, nd: int, keep: "np.ndarray | None" = None
+    csr: CsrGraph, nd: int, keep: "np.ndarray | None" = None,
+    dev_of: "np.ndarray | None" = None,
 ) -> dict:
     """Measured cut statistics of the contiguous ``nd``-way row partition.
 
@@ -104,6 +117,11 @@ def halo_statistics(
     ``keep``: optional edge mask (storage order) — the cut of the masked
     subgraph, WITHOUT materializing a stripped CSR copy (the hub-core
     pricing path strips core edges this way per candidate core size).
+
+    ``dev_of``: optional node→device map (e.g. a k-way partition): the
+    cut is then measured under THAT layout instead of contiguous ids —
+    how the tuner prices ``order="metis"`` plans without relabeling the
+    graph.
     """
     n_pad = round_up(csr.nrows, nd)
     rpd = n_pad // nd
@@ -114,8 +132,13 @@ def halo_statistics(
     if keep is not None:
         rows_of = rows_of[keep]
         colind = colind[keep]
-    d_of = rows_of // rpd
-    owner = colind.astype(np.int64) // rpd
+    if dev_of is None:
+        d_of = rows_of // rpd
+        owner = colind.astype(np.int64) // rpd
+    else:
+        dev_of = np.asarray(dev_of, dtype=np.int64)
+        d_of = dev_of[rows_of]
+        owner = dev_of[colind]
     remote = d_of != owner
     if remote.any():
         # unique (device, peer, col) triples -> per-pair request sizes

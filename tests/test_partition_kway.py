@@ -133,6 +133,30 @@ def test_halo_auto_order_picks_by_measured_cut():
         assert idlocal.order is None
 
 
+def test_tuner_prices_metis_order_on_community_graphs():
+    """The distribution tuner's order axis: on a planted-community graph
+    the metis-order halo plan must price (and win) against contiguous,
+    and prepare_tuned must instantiate it."""
+    import jax.numpy as jnp
+
+    from pygim_tpu.tune import autotune
+    from pygim_tpu.tune.autotuner import prepare_tuned
+    from pygim_tpu.tune.space import For
+
+    g = _planted(n=2048, blocks=16, deg=8)
+    # ell-only space isolates the exchange×order choice (the hybrid
+    # core + all_gather shortcut legitimately wins at toy scale)
+    res = autotune(
+        g, hidden=32, n_devices=8, layouts=("halo",),
+        space=For("backend", ["ell"]), use_cache=False,
+    )
+    assert res.plan.layout == "halo"
+    assert res.plan.order == "metis", res.plan.describe()
+    prep = prepare_tuned(g, res)
+    out = prep.mul(jnp.ones((g.nrows, 32), jnp.float32))
+    assert out.shape == (g.nrows, 32)
+
+
 def test_cluster_partition_metis_method():
     ds = load_dataset("rmat-4096-32768")
     from pygim_tpu.data.datasets import cluster_partition
