@@ -260,4 +260,20 @@ def run_experiments(
             results[name] = exp.run(results_dir, data_root=data_root)
         except Exception as e:  # ledger already has the .failed record
             log.error("FAILED %s: %s", name, e)
+            # release device memory before the next experiment: a
+            # RESOURCE_EXHAUSTED prepare leaves multi-GB arrays live in
+            # traceback frame refs and jitted-function caches — without
+            # this, later experiments in the sweep OOM collaterally
+            # (measured: the round-3 products 8 GiB OOM took the
+            # fitting 6 GiB re-run down with it)
+            import gc
+
+            import jax
+
+            gc.collect()
+            try:
+                jax.clear_caches()
+            except Exception:
+                pass
+            gc.collect()
     return results
