@@ -174,6 +174,41 @@ def plan_statistics(
                     rows_of[~in_core], minlength=csr.nrows
                 ).astype(np.int64)
                 memo[("tail_deg", k)] = tail_deg
+            if config.hybrid_dtype in ("int4", "int8"):
+                # Integer cores DEMOTE cells whose merged value falls
+                # outside the representable range back to the ELL tail
+                # (core/partition.py int_demote_slab). On duplicate-
+                # merged power-law graphs this is the dominant effect:
+                # reddit-sim's hub-hub counts overflow ±7 so the int4
+                # k=131k core keeps only ~54% of edges where bf16
+                # k=80k keeps ~94% (measured round 3: tail 61.3M slots
+                # vs 7.6M; 364 ms vs 144 ms). Exact per-k cell-value
+                # histogram, memoized once and shared by int4/int8.
+                dem = memo.get(("demote", k))
+                if dem is None:
+                    dem = {"int4": 0, "int8": 0}
+                    if np.all(csr.vals[:: max(1, csr.nnz // 4096)] == 1):
+                        in_core = _in_core_mask(memo, csr, k)
+                        key = (
+                            rank[rows_of[in_core]] * np.int64(k)
+                            + rank[csr.colind[in_core].astype(np.int64)]
+                        )
+                        _, counts = np.unique(key, return_counts=True)
+                        # every EDGE of an overflowing cell re-enters
+                        # the tail individually (_demote_edges flips
+                        # in_core per edge, ops/spmm.py:758)
+                        dem["int4"] = int(counts[counts > 7].sum())
+                        dem["int8"] = int(counts[counts > 127].sum())
+                        del key
+                    memo[("demote", k)] = dem
+                demoted = dem[config.hybrid_dtype]
+                if demoted:
+                    tail_deg = tail_deg.copy()
+                    hub = rank < min(k, csr.nrows)
+                    # spread demotions over the hub rows (their actual
+                    # location) — uniform over hubs is the right first
+                    # order for the padding model
+                    tail_deg[hub] += demoted // max(1, int(hub.sum()))
             deg = tail_deg
             if config.bcsr_bytes > 0 and plan.layout in (
                 "single", "2d", "halo",
