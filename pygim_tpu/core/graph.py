@@ -236,3 +236,55 @@ def coo_to_csr(coo: CooGraph) -> CsrGraph:
     rowptr = np.zeros(coo.nrows + 1, dtype=INDEX_DTYPE)
     np.cumsum(counts, out=rowptr[1:])
     return CsrGraph(rowptr=rowptr, colind=s.cols, vals=s.vals, ncols=coo.ncols)
+
+
+def merge_duplicate_edges(graph) -> "tuple[CooGraph, bool]":
+    """Sum duplicate ``(row, col)`` entries into single edges — a
+    semantic no-op for SpMM (the result accumulates them anyway) that
+    every formulation benefits from: fewer gather slots in the ELL tail,
+    and integer-core demotions shrink from per-duplicate-edge to
+    per-cell (ops/spmm.py ``_demote_edges``). The hybrid dense core
+    already merges by construction; this extends the same credit to the
+    gather tiers. Returns ``(graph, merged?)``; the input is returned
+    unchanged when it is already a simple graph, or when the merged
+    integer values would overflow every storage dtype up to int32.
+
+    Integer values accumulate in int64 and cast back to the narrowest
+    safe dtype (original, else int32) — matching the ≥int32 accumulation
+    the unmerged formulation uses (ops/reference.py ``accum_dtype``).
+    Float values accumulate in float64 and return to the original dtype.
+    """
+    coo = graph if isinstance(graph, CooGraph) else graph.to_coo()
+    key = coo.rows.astype(np.int64) * np.int64(coo.ncols) + coo.cols
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    first = np.ones(ks.size, dtype=bool)
+    if ks.size:
+        first[1:] = ks[1:] != ks[:-1]
+    if first.all():
+        return coo, False
+    idx = np.flatnonzero(first)
+    if np.issubdtype(coo.vals.dtype, np.integer):
+        acc = np.add.reduceat(coo.vals[order].astype(np.int64), idx)
+        info = np.iinfo(coo.vals.dtype)
+        if acc.max(initial=0) <= info.max and acc.min(initial=0) >= info.min:
+            vals = acc.astype(coo.vals.dtype)
+        elif (acc.max(initial=0) <= np.iinfo(np.int32).max
+              and acc.min(initial=0) >= np.iinfo(np.int32).min):
+            vals = acc.astype(np.int32)
+        else:
+            return coo, False
+    else:
+        vals = np.add.reduceat(
+            coo.vals[order].astype(np.float64), idx
+        ).astype(coo.vals.dtype)
+    return (
+        CooGraph(
+            rows=(ks[idx] // coo.ncols).astype(coo.rows.dtype),
+            cols=(ks[idx] % coo.ncols).astype(coo.cols.dtype),
+            vals=vals,
+            nrows=coo.nrows,
+            ncols=coo.ncols,
+        ),
+        True,
+    )

@@ -79,6 +79,10 @@ class PreparedSpmmHalo:
         config = config or SpmmConfig()
         if exchange not in ("all_gather", "all_to_all", "ring"):
             raise ValueError(f"unknown exchange {exchange!r}")
+        if config.merge_duplicates:
+            from pygim_tpu.core.graph import merge_duplicate_edges
+
+            graph, _ = merge_duplicate_edges(graph)
         self.mesh, self.config, self.exchange = mesh, config, exchange
         nd = mesh.shape["nodes"]
         self.nd = nd

@@ -51,6 +51,10 @@ class PreparedSpmm2D:
         *, scatter_output: bool = False,
     ):
         config = config or SpmmConfig()
+        if config.merge_duplicates:
+            from pygim_tpu.core.graph import merge_duplicate_edges
+
+            graph, _ = merge_duplicate_edges(graph)
         self.mesh = mesh
         self.config = config
         # scatter_output: reduce-scatter the sp-axis merge so the output

@@ -186,20 +186,21 @@ def plan_statistics(
                 # histogram, memoized once and shared by int4/int8.
                 dem = memo.get(("demote", k))
                 if dem is None:
+                    # a demoted cell re-enters the tail (one entry per
+                    # stored edge, ops/spmm.py _demote_edges). On the
+                    # duplicate-merged graph the tuner prices (autotune
+                    # merges at entry, like every prepare path), cell
+                    # value == stored value, so the histogram is a
+                    # direct range count over in-core edge values.
+                    in_core = _in_core_mask(memo, csr, k)
+                    iv = csr.vals[in_core]
+                    s = iv[:: max(1, iv.size // 4096)]
                     dem = {"int4": 0, "int8": 0}
-                    if np.all(csr.vals[:: max(1, csr.nnz // 4096)] == 1):
-                        in_core = _in_core_mask(memo, csr, k)
-                        key = (
-                            rank[rows_of[in_core]] * np.int64(k)
-                            + rank[csr.colind[in_core].astype(np.int64)]
+                    if s.size and np.all(s == np.round(s)):
+                        dem["int4"] = int(((iv > 7) | (iv < -8)).sum())
+                        dem["int8"] = int(
+                            ((iv > 127) | (iv < -128)).sum()
                         )
-                        _, counts = np.unique(key, return_counts=True)
-                        # every EDGE of an overflowing cell re-enters
-                        # the tail individually (_demote_edges flips
-                        # in_core per edge, ops/spmm.py:758)
-                        dem["int4"] = int(counts[counts > 7].sum())
-                        dem["int8"] = int(counts[counts > 127].sum())
-                        del key
                     memo[("demote", k)] = dem
                 demoted = dem[config.hybrid_dtype]
                 if demoted:
@@ -504,6 +505,13 @@ def autotune(
     ``hbm_budget_bytes`` — per-device memory cap pruning hybrid cores and
     tables that don't fit.
     """
+    # price what prepare will actually run: every prepare path merges
+    # duplicate edges (SpmmConfig.merge_duplicates default) — the tail
+    # degrees, halo cuts, and int-core demotions all belong to the
+    # merged graph
+    from pygim_tpu.core.graph import merge_duplicate_edges
+
+    graph, _ = merge_duplicate_edges(graph)
     csr = graph if isinstance(graph, CsrGraph) else graph.to_csr()
     if space is None:
         # full default search: the blocked/ell/hybrid backends PLUS the
