@@ -31,6 +31,13 @@ CASES = [
     (8, 120, 120, 1200, "float32", "float32",
      dict(backend="ell", balance="row")),
     (9, 90, 110, 800, "int64", "int64", dict(backend="blocked", n_blocks=2)),
+    # duplicate-merge axis: identical math with merging disabled, and a
+    # duplicate-heavy case (nnz >> nrows²/4 forces heavy multi-edges)
+    (10, 64, 64, 900, "float32", "float32",
+     dict(backend="ell", merge_duplicates=False)),
+    (11, 40, 40, 3000, "float32", "float32",
+     dict(backend="hybrid", hybrid_k=16)),
+    (12, 40, 40, 3000, "int32", "int32", dict(backend="blocked")),
 ]
 
 
