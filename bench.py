@@ -90,17 +90,18 @@ def main():
     )
 
     backend = os.environ.get("PYGIM_BENCH_BACKEND", "hybrid")
-    # Candidate ladder, measured-best first. Round-3 measurement settled
-    # the round-2 prediction: the nibble-packed int4 core at 8 GiB runs
-    # 362 ms/iter vs 143.7 ms for the bf16 12 GiB core on reddit f32
-    # h256 — for FLOAT payloads the int core must be unpacked/converted
-    # to bf16 every multiply and the larger hub rank k pays quadratic
-    # MXU flops (2·256·k²), so packed cores only win for integer
-    # payloads where the tail gather shrink dominates (products int8:
-    # 2.24 s int4 vs 2.52 s int8, docs/PERF.md E8). To stay honest
-    # against residual model error, the first PYGIM_BENCH_MEASURE_TOP
-    # surviving candidates are MEASURED and the best wins; explicit env
-    # pins collapse to one.
+    # Candidate ladder, measured-best first (round-3 on-chip ladder,
+    # duplicate-merged prepares — docs/PERF.md round 3):
+    #   int8 12 GiB  107.5 ms  (1102.7 GB/s, the headline)
+    #   int4  8 GiB  133.6 ms  (was 362 ms before duplicate merging —
+    #                           hub-cell demotion, since priced exactly)
+    #   bf16 12 GiB  144.7 ms
+    # Integer cores apply only to integer-VALUED adjacencies (cells are
+    # exact small ints; out-of-range cells demote to the exact ELL tail
+    # at prepare); the float payload rides bf16/f32 on the MXU either
+    # way. To stay honest against residual model error, the first
+    # PYGIM_BENCH_MEASURE_TOP surviving candidates are MEASURED and the
+    # best wins; explicit env pins collapse to one.
     env_dt = os.environ.get("PYGIM_BENCH_CORE_DTYPE")
     env_b = os.environ.get("PYGIM_BENCH_CORE_BYTES")
     if env_dt or env_b:
@@ -108,10 +109,10 @@ def main():
         measure_top = 1
     else:
         attempts = [
-            ("bfloat16", 12 << 30),   # the measured headline (824 GB/s)
-            ("int4", 8 << 30),        # measured 362 ms — kept as the
-                                      # honesty check, warm-cached
-            ("int8", 12 << 30),
+            ("int8", 12 << 30),       # measured best (107.5 ms)
+            ("int4", 8 << 30),        # measured 133.6 ms
+            ("bfloat16", 12 << 30),   # measured 144.7 ms; also the
+                                      # float-valued-graph fallback
             ("bfloat16", 8 << 30),
             ("bfloat16", 4 << 30),
         ]

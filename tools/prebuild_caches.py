@@ -53,6 +53,8 @@ def main():
     #    (defaults elsewhere => same prepare-cache key).
     bench_cfgs = [
         SpmmConfig(backend="hybrid", format="csr",
+                   hybrid_core_bytes=12 << 30, hybrid_dtype="int8"),
+        SpmmConfig(backend="hybrid", format="csr",
                    hybrid_core_bytes=8 << 30, hybrid_dtype="int4"),
         SpmmConfig(backend="hybrid", format="csr",
                    hybrid_core_bytes=12 << 30, hybrid_dtype="bfloat16"),
