@@ -48,6 +48,7 @@ class Experiment:
     backend: str = "blocked"
     balance: str = "nnz"
     block_nnz_budget: int = 1 << 17
+    ell_degree: int = 0                # 0 = auto (choose_ell_degree)
     hybrid_core_bytes: int = 4 << 30   # hybrid backend core budget
     hybrid_dtype: str = ""             # "" = vals dtype; "bfloat16" option
     bcsr_bytes: int = 0                # hybrid BCSR middle-tier budget
@@ -88,6 +89,7 @@ class Experiment:
         return SpmmConfig(
             format=self.sp_format, backend=self.backend,
             balance=self.balance, block_nnz_budget=self.block_nnz_budget,
+            ell_degree=self.ell_degree or None,
             hybrid_core_bytes=self.hybrid_core_bytes,
             hybrid_dtype=self.hybrid_dtype or None,
             bcsr_bytes=self.bcsr_bytes, bcsr_tile=self.bcsr_tile,
