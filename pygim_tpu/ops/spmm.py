@@ -366,6 +366,12 @@ def _core_matmul(core, xq, acc):
             return jnp.dot(core, xq, preferred_element_type=jnp.int32)
         if jnp.issubdtype(xq.dtype, jnp.integer):
             return _wide_int_core_dot(core, xq.astype(jnp.int32))
+        if os.environ.get("PYGIM_CORE_PALLAS") and core.shape[0] % 256 == 0:
+            # explicit VMEM-fused widen (ops/pallas_core.py) — on-chip
+            # A/B gate vs XLA's astype-into-dot fusion
+            from pygim_tpu.ops.pallas_core import dequant_core_dot
+
+            return dequant_core_dot(core, xq).astype(acc)
         return jnp.dot(
             core.astype(jnp.bfloat16), xq.astype(jnp.bfloat16),
             preferred_element_type=acc,
