@@ -65,6 +65,12 @@ class Experiment:
     validate: bool = False             # inference kind: per-layer check
     epochs: int = 50                   # training kind
     lr: float = 0.01                   # training kind
+    parity: bool = True                # training kind: retrain on the
+                                       # oracle aggregate and compare.
+                                       # The raw-edge oracle backward
+                                       # materializes (nnz, H) — turn
+                                       # off beyond ~10M edges (measured
+                                       # 117 GB OOM at reddit scale)
     repeat: int = 3
     tune: bool = False
 
@@ -207,6 +213,7 @@ class Experiment:
                     ds, model=self.model, num_layers=self.num_layers,
                     hidden=self.hidden, config=cfg, epochs=self.epochs,
                     lr=self.lr, reporter=rep, mesh=mesh,
+                    parity=self.parity,
                 )
             else:
                 raise ValueError(f"unknown kind {self.kind!r}")
