@@ -59,6 +59,12 @@ class Experiment:
     cluster: str = ""                  # scaling kind: node order for the
                                        # halo partition ("", rcm, lp,
                                        # metis — core/cluster.py)
+    device_counts: str = ""            # scaling kind: comma list, e.g.
+                                       # "1,8" — virtual-CPU meshes abort
+                                       # on >40 s collective rendezvous,
+                                       # so big graphs skip the low
+                                       # counts whose per-pair transfer
+                                       # is huge (measured at 268M edges)
     scale_model: bool = False          # scaling kind: time the FULL model
                                        # forward, not the raw SpMM
     phases: bool = False               # spmm kind: per-phase [DATA] times
@@ -197,7 +203,12 @@ class Experiment:
                 from pygim_tpu.bench.scaling import run_scaling_benchmark
 
                 run_scaling_benchmark(
-                    ds, hidden=self.hidden, exchange=self.exchange,
+                    ds,
+                    device_counts=(
+                        [int(c) for c in self.device_counts.split(",")]
+                        if self.device_counts else None
+                    ),
+                    hidden=self.hidden, exchange=self.exchange,
                     config=cfg, repeat=self.repeat, reporter=rep,
                     model=self.model if self.scale_model else None,
                     num_layers=self.num_layers,
