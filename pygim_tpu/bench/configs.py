@@ -16,13 +16,22 @@ DATASETS = {
 # BASELINE.md §3 tracked configs
 BASELINE_EXPERIMENTS = [
     # (1) single SpMM Reddit CSR FLT32 h=256 (with the per-phase timer
-    # breakdown the reference emitted per multiply); 12 GiB bf16 core =
-    # the measured-best hybrid point (docs/PERF.md)
+    # breakdown the reference emitted per multiply); 12 GiB INT8 core =
+    # the round-3 measured best on the duplicate-merged graph (107.5 ms /
+    # 1102.7 GB/s; bf16 12 GiB = 144.7 ms kept as the float-valued-graph
+    # canonical point — docs/PERF.md round 3)
+    Experiment(dataset="reddit", kind="spmm", sp_format="csr",
+               dtype="float32", hidden=256, backend="hybrid", phases=True,
+               hybrid_core_bytes=12 << 30, hybrid_dtype="int8"),
     Experiment(dataset="reddit", kind="spmm", sp_format="csr",
                dtype="float32", hidden=256, backend="hybrid", phases=True,
                hybrid_core_bytes=12 << 30, hybrid_dtype="bfloat16"),
     # (2) 2-layer GCN Reddit FLT32 (with the per-layer activation check
     # the BASELINE validation clause requires)
+    Experiment(dataset="reddit", kind="inference", model="gcn",
+               num_layers=2, dtype="float32", hidden=256, backend="hybrid",
+               hybrid_core_bytes=12 << 30, hybrid_dtype="int8",
+               validate=True),
     Experiment(dataset="reddit", kind="inference", model="gcn",
                num_layers=2, dtype="float32", hidden=256, backend="hybrid",
                hybrid_core_bytes=12 << 30, hybrid_dtype="bfloat16",
