@@ -37,6 +37,39 @@ def test_parametric_rmat():
     assert ds.num_nodes == 500 and ds.num_edges == 2000
 
 
+def test_rmat_unique_edges():
+    # dense enough that a plain draw would surely collide
+    rows, cols = rmat_edges(256, 20_000, seed=2, unique=True)
+    assert rows.shape == cols.shape == (20_000,)
+    keys = rows.astype(np.int64) * 256 + cols
+    assert np.unique(keys).size == 20_000
+    # still power-law skewed (first-occurrence order keeps the hub bias)
+    deg = np.bincount(rows, minlength=256)
+    assert deg.max() > 3 * deg.mean()
+
+
+def test_rmat_unique_impossible_raises():
+    with pytest.raises(ValueError):
+        rmat_edges(4, 17, unique=True)
+
+
+def test_uniq_suffix_dataset(tmp_path):
+    ds = load_dataset("tiny-uniq", root=str(tmp_path))
+    n, e, f, c = DATASET_SPECS["tiny"]
+    assert ds.num_nodes == n and ds.num_edges == e
+    keys = ds.graph.rows.astype(np.int64) * n + ds.graph.cols
+    assert np.unique(keys).size == e  # a simple graph, same edge count
+    assert (tmp_path / "tiny-uniq-sim.npz").exists()
+    ds2 = load_dataset("tiny-uniq", root=str(tmp_path))
+    np.testing.assert_array_equal(ds.graph.rows, ds2.graph.rows)
+
+
+def test_uniq_parametric_rmat():
+    ds = load_dataset("rmat-500-2000-uniq")
+    keys = ds.graph.rows.astype(np.int64) * 500 + ds.graph.cols
+    assert np.unique(keys).size == 2000
+
+
 def test_unknown_dataset_raises():
     with pytest.raises(KeyError):
         load_dataset("nope")
