@@ -67,9 +67,10 @@ def main():
             f"[{time.time()-t0:.0f}s]")
         del prep
 
-    # 2) products int4 core sweep (VERDICT item 9): 6 GiB is round-2's
-    #    measured winner; 8/10 GiB are the queued attempts.
-    for budget in (6, 8, 10):
+    # 2) products int4 core (config 4's canonical point). 8/10 GiB were
+    #    measured RESOURCE_EXHAUSTED on the v5e in round 3 (docs/PERF.md
+    #    "Products int4 core-budget sweep — settled"): don't rebuild them.
+    for budget in (6,):
         exp = Experiment(
             dataset="ogbn-products", kind="inference", dtype="int8",
             backend="hybrid", hybrid_dtype="int4",
