@@ -26,6 +26,17 @@ BASELINE_EXPERIMENTS = [
     Experiment(dataset="reddit", kind="spmm", sp_format="csr",
                dtype="float32", hidden=256, backend="hybrid", phases=True,
                hybrid_core_bytes=12 << 30, hybrid_dtype="bfloat16"),
+    # (1b) generator-fidelity sibling: reddit-uniq is the SIMPLE-graph
+    # stand-in (114.6M edges, all unique, like real Reddit) — prepare
+    # merging cannot shrink its stored workload, so this is the honest
+    # number for real-graph expectations (docs/PERF.md "stand-in
+    # fidelity"; ROADMAP generator fidelity)
+    Experiment(dataset="reddit-uniq", kind="spmm", sp_format="csr",
+               dtype="float32", hidden=256, backend="hybrid", phases=True,
+               hybrid_core_bytes=12 << 30, hybrid_dtype="int8"),
+    Experiment(dataset="reddit-uniq", kind="spmm", sp_format="csr",
+               dtype="float32", hidden=256, backend="hybrid", phases=True,
+               hybrid_core_bytes=10 << 30, hybrid_dtype="int8"),
     # (2) 2-layer GCN Reddit FLT32 (with the per-layer activation check
     # the BASELINE validation clause requires)
     Experiment(dataset="reddit", kind="inference", model="gcn",
