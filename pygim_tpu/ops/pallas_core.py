@@ -8,9 +8,13 @@ traffic. This kernel makes the fusion explicit: stream int8 tiles
 HBM→VMEM, widen in VMEM, feed the MXU — the weight-only-quantization
 matmul pattern (pallas_guide.md "Quantization Kernels").
 
-Gated by ``PYGIM_CORE_PALLAS=1`` (see `_core_matmul`) until the on-chip
-A/B proves a win; the Pallas *gather* retirement (docs/PERF.md) does not
-apply here — this is a dense MXU kernel, exactly what Pallas is for.
+A/B MEASURED on the v5e (round 3, reddit-sim int8-12GiB core, f32
+payload): XLA path 108.0 ms/iter, this kernel 114.1 ms/iter — XLA
+already fuses the ``astype`` into the dot's operand reads (no bf16
+materialization in HBM) and its schedule beats the fixed (1024, 256)
+tiling here. The kernel stays, gated OFF by ``PYGIM_CORE_PALLAS=1``,
+as the measured-basis record (docs/PERF.md round 3) and a template for
+future hardware where the fusion question reopens.
 """
 
 from __future__ import annotations

@@ -367,8 +367,10 @@ def _core_matmul(core, xq, acc):
         if jnp.issubdtype(xq.dtype, jnp.integer):
             return _wide_int_core_dot(core, xq.astype(jnp.int32))
         if os.environ.get("PYGIM_CORE_PALLAS") and core.shape[0] % 256 == 0:
-            # explicit VMEM-fused widen (ops/pallas_core.py) — on-chip
-            # A/B gate vs XLA's astype-into-dot fusion
+            # explicit VMEM-fused widen (ops/pallas_core.py). A/B
+            # MEASURED round 3: 114.1 ms vs 108.0 ms for the XLA branch
+            # below — XLA fuses the astype into the dot reads, so the
+            # gate stays off by default (docs/PERF.md).
             from pygim_tpu.ops.pallas_core import dequant_core_dot
 
             return dequant_core_dot(core, xq).astype(acc)
