@@ -116,7 +116,11 @@ def main():
             ("bfloat16", 8 << 30),
             ("bfloat16", 4 << 30),
         ]
-        measure_top = int(os.environ.get("PYGIM_BENCH_MEASURE_TOP", 2))
+        # Default 1: three rounds of on-chip evidence agree int8-12GiB is
+        # the best, and round 3's driver bench hit rc=124 chasing a second
+        # candidate (prepare+fresh-compile pushed past the driver timeout
+        # AFTER the winner was already measured — BENCH_r03.json).
+        measure_top = int(os.environ.get("PYGIM_BENCH_MEASURE_TOP", 1))
     sample = graph.vals[:: max(1, graph.vals.size // 4096)]
     if not np.all(sample == np.round(sample)):
         attempts = [
@@ -128,9 +132,19 @@ def main():
     )
     iters = int(os.environ.get("PYGIM_BENCH_ITERS", 5))
 
+    # Wall-clock guard: once one candidate is measured, never start
+    # another past the deadline — printing the JSON line with the number
+    # we have beats a driver-side timeout with no line at all.
+    deadline = t_start + float(os.environ.get("PYGIM_BENCH_DEADLINE_S", 1500))
     dt = None
     measured = 0
     for i, (core_dtype, budget) in enumerate(attempts):
+        if dt is not None and time.time() > deadline:
+            log(
+                f"deadline ({time.time()-t_start:.0f}s elapsed) — "
+                "reporting the best measured candidate"
+            )
+            break
         cfg = SpmmConfig(
             backend=backend, format="csr", hybrid_core_bytes=budget,
             hybrid_dtype=core_dtype or None,

@@ -105,8 +105,14 @@ def rmat_edges(
     out_r: list = []
     out_c: list = []
     have = 0
+    stalled = 0
+    # Cap per-batch host RAM: each drawn edge costs ~40 B of int64/float64
+    # temporaries (rows, cols, rng draws, keys, argsort workspace), so 64M
+    # edges/batch ≈ 2.5 GB transient — loop more batches instead of
+    # materializing ~1.7*e at amazonproducts scale (~15-20 GB).
+    batch_cap = 64 * 2**20
     while have < e:
-        m = int((e - have) * 1.7) + 1024  # ~1.45 draws/unique at reddit scale
+        m = min(int((e - have) * 1.7) + 1024, batch_cap)
         br, bc = _draw(m)  # NOT r/c — those would shadow _draw's params
         k = br.astype(np.int64) * n + bc
         # first occurrence within the batch, in generation order
@@ -120,8 +126,24 @@ def rmat_edges(
         take = first[: e - have]
         out_r.append(br[take])
         out_c.append(bc[take])
-        seen = np.sort(np.concatenate([seen, k[take]]))
+        # linear merge of two sorted key arrays (np.insert at searchsorted
+        # positions) — a full np.sort of `seen` per batch would make the
+        # long tail O(batches * E log E) at 100M+ edges.
+        new_sorted = np.sort(k[take])
+        seen = np.insert(seen, np.searchsorted(seen, new_sorted), new_sorted)
         have += take.size
+        # R-MAT mass concentrates in few cells: near-saturating requests
+        # (e → n*n reachable mass) can accept ~nothing per batch without
+        # ever being strictly impossible — fail loudly instead of looping
+        # forever.
+        stalled = stalled + 1 if take.size < max(1, m // 1024) else 0
+        if stalled >= 8:
+            raise RuntimeError(
+                f"rmat_edges(unique=True) stalled at {have}/{e} unique "
+                f"edges after {stalled} near-empty batches — the request "
+                f"is too dense for this R-MAT skew (a={a}, b={b}, c={c}); "
+                "lower e or the skew"
+            )
     return np.concatenate(out_r), np.concatenate(out_c)
 
 
