@@ -53,6 +53,14 @@ def test_rmat_unique_impossible_raises():
         rmat_edges(4, 17, unique=True)
 
 
+def test_rmat_unique_stall_raises():
+    # feasible-on-paper but denser than the R-MAT skew can reach: the
+    # rejection sampler must fail loudly, not loop forever (advisor
+    # finding, round 3)
+    with pytest.raises(RuntimeError, match="stalled"):
+        rmat_edges(32, 1000, unique=True, seed=0)
+
+
 def test_uniq_suffix_dataset(tmp_path):
     ds = load_dataset("tiny-uniq", root=str(tmp_path))
     n, e, f, c = DATASET_SPECS["tiny"]
