@@ -217,7 +217,27 @@ class EllRows:
     ncols: int
 
 
-_ELL_DEGREE_CANDIDATES = (4, 8, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512)
+_ELL_DEGREE_CANDIDATES = (
+    2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512
+)
+
+# Measured ELL cost constants (v5e via tunnel, round-4 calibration):
+# per-slot gather issue ~8.7 ns (≤1M-row x tables; the engine is
+# issue-rate-bound, CLAUDE.md), and ~56 ns of per-VIRTUAL-ROW overhead at
+# H=256 (stacked-partial write + sorted scatter-add + in-scan carry).
+# Both anchors fit two independent measurements: products D=8
+# (9.55M vrows, 76.4M slots -> 1402 ms, docs/PERF.md E6) and reddit D=4
+# (0.72M vrows, 2.88M slots -> 65 ms tail phase). The overhead is
+# ISSUE-dominated, so only its 3-HBM-pass byte term scales with H:
+# V(H) = 52 + 12*H bytes / 819 GB/s = 52 + H/68 ns.
+_ELL_SLOT_NS = 8.7
+_ELL_VROW_FIXED_NS = 52.0
+_ELL_VROW_NS_PER_H = 1.0 / 68.0
+
+
+def _ell_vrow_ns(hidden) -> float:
+    h = 256 if hidden is None else int(hidden)
+    return _ELL_VROW_FIXED_NS + h * _ELL_VROW_NS_PER_H
 
 
 def choose_ell_degree(
@@ -225,13 +245,14 @@ def choose_ell_degree(
     hidden: Optional[int] = None,
     partial_budget_bytes: int = 2 << 30,  # retained for API compat
 ) -> int:
-    """Auto degree D: argmin over candidates of the gather-bound runtime
-    model ``Σ_r ceil(deg_r / D) · D  +  c(H) · n_virtual``: padded slots
-    are gathered (~7 ns issue each, CLAUDE.md measurements) and each
-    virtual row costs a stacked-partial write + read + scatter-update of
-    an (H,) f32 row (3 HBM passes at ~819 GB/s) plus ~2 ns of scatter
-    issue — c(H) ≈ (3·4H/819e9 + 2e-9)/7e-9 ≈ H/478 + 0.3 in units of
-    slot-gathers.
+    """Auto degree D: argmin over candidates of the measured runtime
+    model ``Σ_r ceil(deg_r / D) · (D·G + V(H))`` — padded slots cost one
+    issue-bound gather each (G = 8.7 ns) and each virtual row carries a
+    fixed overhead V(H) ≈ 56 ns at H=256 (stacked-partial + sorted
+    scatter-add; see _ELL_VROW_FIXED_NS calibration note). Round-3's
+    model under-priced V ~10× (c(H)·7ns ≈ 5.9 ns) and picked D=4 on the
+    reddit tail; the recalibrated model picks D=12, predicted −13 ms of
+    the 65 ms tail (validated on-chip, docs/PERF.md round 4).
 
     The former (n_virtual, hidden) stacked-partial HBM guard is gone:
     grouped accumulation (ops/spmm.py:_ell_grouped_scan) bounds the
@@ -245,14 +266,80 @@ def choose_ell_degree(
     def n_virtual(d):
         return int((-(-deg // d)).sum())
 
-    c_vr = 2.0 if hidden is None else hidden / 478.0 + 0.3
+    v_ns = _ell_vrow_ns(hidden)
     best_d, best_cost = 4, float("inf")
     for d in _ELL_DEGREE_CANDIDATES:
         n_vr = n_virtual(d)
-        cost = float(n_vr * d) + c_vr * float(n_vr)
+        cost = n_vr * (d * _ELL_SLOT_NS + v_ns)
         if cost < best_cost - 1e-9:
             best_d, best_cost = d, cost
     return best_d
+
+
+def choose_ell_degrees(
+    row_lengths: np.ndarray,
+    hidden: Optional[int] = None,
+    max_tables: int = 3,
+) -> "tuple[int, ...]":
+    """Multi-degree ELL: split rows across up to ``max_tables`` tables of
+    different fixed degrees, each row packed in the table minimizing ITS
+    cost under the measured model (choose_ell_degree docstring). A single
+    degree over a skewed tail wastes either padding (small D on long
+    rows → many virtual rows × V) or slots (large D on short rows);
+    reddit-tail model: D=4 64 ms → best single D=12 51 ms → best
+    3-table (4,12,32) 41 ms of a 21.6 ms no-overhead floor.
+
+    Exhaustive search over candidate combinations on the degree
+    HISTOGRAM (cost arrays over distinct degrees — O(|cands|·max_deg)
+    setup, O(C(|cands|, t)·max_deg) scan). Returns degrees sorted
+    ascending; may return fewer than max_tables when extra tables stop
+    paying (< 2% cost improvement per added table)."""
+    import itertools
+
+    deg = row_lengths[row_lengths > 0].astype(np.int64)
+    if deg.size == 0:
+        return (4,)
+    if max_tables <= 1:
+        return (choose_ell_degree(row_lengths, hidden),)
+    cnt = np.bincount(deg)  # cnt[d] rows of degree d
+    ds = np.arange(cnt.size, dtype=np.int64)
+    v_ns = _ell_vrow_ns(hidden)
+    cands = [d for d in _ELL_DEGREE_CANDIDATES if d <= max(2, deg.max())]
+    # cost[D][d] = total ns for all rows of degree d packed at degree D
+    cost = {
+        D: (-(-ds // D)) * (D * _ELL_SLOT_NS + v_ns) * cnt
+        for D in cands
+    }
+    best: "tuple[float, tuple[int, ...]]" = (float("inf"), (4,))
+    for t in range(1, max_tables + 1):
+        t_best = (float("inf"), (4,))
+        for combo in itertools.combinations(cands, t):
+            c = float(np.minimum.reduce([cost[D] for D in combo]).sum())
+            if c < t_best[0]:
+                t_best = (c, combo)
+        # one more table must buy ≥2% or it's compile bloat for noise
+        if t_best[0] < best[0] * (1.0 - 0.02 * (t > 1)):
+            best = t_best
+        else:
+            break
+    return tuple(sorted(best[1]))
+
+
+def assign_ell_tables(
+    row_lengths: np.ndarray,
+    degrees: "tuple[int, ...]",
+    hidden: Optional[int] = None,
+) -> np.ndarray:
+    """Per-row table index (into sorted ``degrees``) minimizing the
+    measured per-row cost; -1 for empty rows."""
+    deg = row_lengths.astype(np.int64)
+    v_ns = _ell_vrow_ns(hidden)
+    costs = np.stack(
+        [(-(-deg // D)) * (D * _ELL_SLOT_NS + v_ns) for D in degrees]
+    )
+    pick = np.argmin(costs, axis=0).astype(np.int32)
+    pick[deg == 0] = -1
+    return pick
 
 
 def build_ell_rows(
@@ -290,6 +377,43 @@ def build_ell_rows(
         cols=cols, vals=vals, vrow_to_row=vrow_to_row, degree=D,
         n_virtual=n_virtual, nrows=csr.nrows, ncols=csr.ncols,
     )
+
+
+def build_ell_rows_multi(
+    csr: CsrGraph,
+    degrees: "tuple[int, ...]",
+    hidden: Optional[int] = None,
+    row_chunk_for=None,
+) -> "list[EllRows]":
+    """Multi-degree ELL tables: each row's edges land in exactly ONE
+    table — the degree minimizing its measured cost (assign_ell_tables) —
+    so the tables' scatter-adds into the output are disjoint and order-
+    free. Returns one EllRows per SURVIVING degree (a degree nobody
+    picked is dropped). ``row_chunk_for(D)`` supplies each table's scan
+    chunk (defaults to 1)."""
+    lens = csr.row_lengths
+    pick = assign_ell_tables(lens, degrees, hidden)
+    deg64 = lens.astype(np.int64)
+    edge_pick = np.repeat(pick, deg64)  # per-nnz table index
+    out: "list[EllRows]" = []
+    for gi, D in enumerate(degrees):
+        rmask = pick == gi
+        if not rmask.any():
+            continue
+        sub_lens = np.where(rmask, deg64, 0)
+        rowptr = np.zeros(csr.nrows + 1, dtype=np.int64)
+        np.cumsum(sub_lens, out=rowptr[1:])
+        sel = edge_pick == gi
+        sub = CsrGraph(
+            rowptr=rowptr, colind=csr.colind[sel], vals=csr.vals[sel],
+            ncols=csr.ncols,
+        )
+        chunk = 1 if row_chunk_for is None else row_chunk_for(D)
+        out.append(build_ell_rows(sub, D, row_chunk=chunk))
+    if not out:  # empty graph: one empty table keeps callers simple
+        chunk = 1 if row_chunk_for is None else row_chunk_for(degrees[0])
+        out.append(build_ell_rows(csr, degrees[0], row_chunk=chunk))
+    return out
 
 
 @dataclasses.dataclass(frozen=True)

@@ -44,7 +44,6 @@ from pygim_tpu.core.graph import CooGraph, CsrGraph
 from pygim_tpu.core.partition import (
     build_coo_chunks,
     build_ell_blocks,
-    build_ell_rows,
     make_row_block_plan,
     round_up,
     row_slot_table,
@@ -67,6 +66,16 @@ class SpmmConfig:
     n_blocks: Optional[int] = None   # explicit override
     block_nnz_budget: int = 1 << 17  # ~128k nnz/block
     ell_degree: Optional[int] = None # ell backend: fixed degree (auto=None)
+    ell_tables: int = 3              # auto-degree: max multi-degree ELL
+                                     # tables (choose_ell_degrees); a
+                                     # pinned ell_degree forces 1 table.
+                                     # Multi-degree splits rows across
+                                     # per-degree tables so short rows
+                                     # stop paying padding and long rows
+                                     # stop paying per-virtual-row
+                                     # overhead (measured −24 ms of the
+                                     # 65 ms reddit tail, docs/PERF.md
+                                     # round 4)
     hidden_hint: int = 256           # expected dense width (memory guard
                                      # for the auto degree chooser)
     # hybrid backend: dense hub-core on the MXU + ELL tail via gather.
@@ -150,6 +159,79 @@ def ell_step_tables(cols2d, vals2d, vrow_to_row, chunk):
         np.ascontiguousarray(vals2d).reshape(n_steps, chunk * d),
         np.ascontiguousarray(vrow_to_row).reshape(n_steps, chunk),
     )
+
+
+def _ell_suffix(i: int) -> str:
+    """Device/host key suffix of ELL table ``i``: table 0 keeps the
+    historical unsuffixed names (cols2d/vals2d/vrow_to_row)."""
+    return "" if i == 0 else f"_{i}"
+
+
+def _ell_chunk(config, degree: int) -> int:
+    """Rows per scan step so each step gathers ~block_nnz_budget slots."""
+    return max(8, round_up(max(1, config.block_nnz_budget // degree), 8))
+
+
+def _plan_ell_tables(csr, config) -> "list[tuple[int, object]]":
+    """Multi-degree ELL planning shared by the ell backend and the hybrid
+    tail: rows split across per-degree tables by the measured cost model
+    (core/partition.py:choose_ell_degrees — padding vs per-virtual-row
+    overhead). A pinned ``config.ell_degree`` or ``ell_tables <= 1``
+    collapses to the single-table layout. Returns [(chunk, EllRows)]."""
+    from pygim_tpu.core.partition import (
+        build_ell_rows_multi,
+        choose_ell_degree,
+        choose_ell_degrees,
+    )
+
+    if config.ell_degree:
+        degrees: "tuple[int, ...]" = (config.ell_degree,)
+    elif config.ell_tables <= 1:
+        degrees = (
+            choose_ell_degree(csr.row_lengths, hidden=config.hidden_hint),
+        )
+    else:
+        degrees = choose_ell_degrees(
+            csr.row_lengths, hidden=config.hidden_hint,
+            max_tables=config.ell_tables,
+        )
+    tables = build_ell_rows_multi(
+        csr, degrees, hidden=config.hidden_hint,
+        row_chunk_for=lambda D: _ell_chunk(config, D),
+    )
+    return [(_ell_chunk(config, t.degree), t) for t in tables]
+
+
+def _install_ell_tables(dev: dict, tables) -> "list[tuple[int, int]]":
+    """Upload planned tables into ``dev`` in step layout; returns the
+    static metadata [(chunk, degree)] the run paths close over."""
+    meta = []
+    for i, (chunk, t) in enumerate(tables):
+        c3, v3, r3 = ell_step_tables(t.cols, t.vals, t.vrow_to_row, chunk)
+        sfx = _ell_suffix(i)
+        dev[f"cols2d{sfx}"] = jnp.asarray(c3)
+        dev[f"vals2d{sfx}"] = jnp.asarray(v3)
+        dev[f"vrow_to_row{sfx}"] = jnp.asarray(r3)
+        meta.append((chunk, t.degree))
+    return meta
+
+
+def _ell_tail_all(x, dev: dict, meta, nrows: int, out=None, part_of=None):
+    """Run every ELL table, accumulating into one output. Tables hold
+    disjoint row sets (build_ell_rows_multi), so order is irrelevant.
+    ``part_of(chunk, degree) -> part_fn`` customizes the per-block body
+    (fused quantization); default is the plain weighted reduce."""
+    for i, (chunk, degree) in enumerate(meta):
+        sfx = _ell_suffix(i)
+        args = (
+            dev[f"cols2d{sfx}"], dev[f"vals2d{sfx}"],
+            dev[f"vrow_to_row{sfx}"],
+        )
+        if part_of is None:
+            out = ell_scan_spmm(x, *args, chunk, degree, nrows, out=out)
+        else:
+            out = part_of(x, *args, chunk, degree, nrows, out=out)
+    return out
 
 
 # Per-call byte cap on the stacked ELL partial. Grouping trades the
@@ -570,26 +652,11 @@ class PreparedSpmm:
             self.nnz_pad = plan.nnz_pad
         elif backend == "ell":
             csr = csr if csr is not None else coo.to_csr()
-            from pygim_tpu.core.partition import choose_ell_degree
-
-            degree = config.ell_degree or choose_ell_degree(
-                csr.row_lengths, hidden=config.hidden_hint
+            self._dev = {}
+            self.ell_meta = _install_ell_tables(
+                self._dev, _plan_ell_tables(csr, config)
             )
-            # rows per scan chunk so each step gathers ~block_nnz_budget
-            chunk = max(8, round_up(
-                max(1, config.block_nnz_budget // degree), 8
-            ))
-            ell = build_ell_rows(csr, degree, row_chunk=chunk)
-            self.ell_degree = ell.degree
-            self.row_chunk = chunk
-            c3, v3, r3 = ell_step_tables(
-                ell.cols, ell.vals, ell.vrow_to_row, chunk
-            )
-            self._dev = {
-                "cols2d": jnp.asarray(c3),
-                "vals2d": jnp.asarray(v3),
-                "vrow_to_row": jnp.asarray(r3),
-            }
+            self.row_chunk, self.ell_degree = self.ell_meta[0]
         elif backend == "hybrid":
             # Dense hub-core on the MXU + ELL tail via the gather engine —
             # the TPU-first answer to power-law graphs: the reference's
@@ -669,10 +736,11 @@ class PreparedSpmm:
         h.update(str(coo.vals.dtype).encode())
         # layout/algorithm version: bump when the prepare-time layout or
         # the auto-degree model changes, so stale cached tables rebuild
-        h.update(b"prep-v3-")
+        h.update(b"prep-v4-")
         h.update(
             f"{config.hybrid_k}-{config.hybrid_core_bytes}-"
             f"{config.hybrid_dtype}-{config.ell_degree}-"
+            f"{config.ell_tables}-"
             f"{config.block_nnz_budget}-{config.bcsr_bytes}-"
             f"{config.bcsr_tile}-{config.bcsr_min_edges}-"
             f"{config.bcsr_order}-{config.bcsr_layout}-"
@@ -696,17 +764,20 @@ class PreparedSpmm:
             except Exception:
                 pass
         self.hybrid_k_eff = int(host["k"])
-        self.ell_degree = int(host["degree"])
-        self.row_chunk = int(host["chunk"])
-        c3, v3, r3 = ell_step_tables(
-            host["cols2d"], host["vals2d"], host["vrow_to_row"],
-            self.row_chunk,
-        )
-        self._dev = {
-            "cols2d": jnp.asarray(c3),
-            "vals2d": jnp.asarray(v3),
-            "vrow_to_row": jnp.asarray(r3),
-        }
+        self._dev = {}
+        self.ell_meta = []
+        for i in range(int(host.get("n_ell", 1))):
+            sfx = _ell_suffix(i)
+            chunk = int(host[f"chunk{sfx}"])
+            c3, v3, r3 = ell_step_tables(
+                host[f"cols2d{sfx}"], host[f"vals2d{sfx}"],
+                host[f"vrow_to_row{sfx}"], chunk,
+            )
+            self._dev[f"cols2d{sfx}"] = jnp.asarray(c3)
+            self._dev[f"vals2d{sfx}"] = jnp.asarray(v3)
+            self._dev[f"vrow_to_row{sfx}"] = jnp.asarray(r3)
+            self.ell_meta.append((chunk, int(host[f"degree{sfx}"])))
+        self.row_chunk, self.ell_degree = self.ell_meta[0]
         if self.hybrid_k_eff > 0:
             core = host["core"]
             if str(host["core_dtype"]) == "bfloat16":
@@ -740,7 +811,6 @@ class PreparedSpmm:
                 )
 
     def _prepare_hybrid_build(self, coo, config: SpmmConfig):
-        from pygim_tpu.core.partition import choose_ell_degree
         from pygim_tpu.utils.timers import PhaseTimer
 
         pt = self.prepare_timer = PhaseTimer()
@@ -1015,20 +1085,15 @@ class PreparedSpmm:
             vals=coo.vals[tail_sel], nrows=n, ncols=n,
         )
         tail_csr = tail.to_csr()
-        degree = config.ell_degree or choose_ell_degree(
-            tail_csr.row_lengths, hidden=config.hidden_hint
-        )
-        chunk = max(8, round_up(
-            max(1, config.block_nnz_budget // degree), 8
-        ))
-        ell = build_ell_rows(tail_csr, degree, row_chunk=chunk)
-        host.update(
-            degree=np.int64(ell.degree),
-            chunk=np.int64(chunk),
-            cols2d=ell.cols,
-            vals2d=ell.vals,
-            vrow_to_row=ell.vrow_to_row,
-        )
+        tables = _plan_ell_tables(tail_csr, config)
+        host["n_ell"] = np.int64(len(tables))
+        for i, (chunk, t) in enumerate(tables):
+            sfx = _ell_suffix(i)
+            host[f"degree{sfx}"] = np.int64(t.degree)
+            host[f"chunk{sfx}"] = np.int64(chunk)
+            host[f"cols2d{sfx}"] = t.cols
+            host[f"vals2d{sfx}"] = t.vals
+            host[f"vrow_to_row{sfx}"] = t.vrow_to_row
         pt.stop("ell_tail")
         return host
 
@@ -1088,21 +1153,21 @@ class PreparedSpmm:
         scale = abs_max * 2.0 / (2.0 ** k)
         safe = jnp.where(scale == 0, jnp.ones_like(scale), scale)
         qdt = q_dtype or x.dtype
-        chunk, degree = self.row_chunk, self.ell_degree
         use_table = (
             q_dtype is not None
             and jnp.dtype(qdt).itemsize < jnp.dtype(x.dtype).itemsize
         )
         if use_table:
             xq = jnp.round(x / safe).astype(qdt)
-            out = ell_scan_spmm(
-                xq, dev["cols2d"], dev["vals2d"], dev["vrow_to_row"],
-                chunk, degree, self.nrows,
-            )
+            out = _ell_tail_all(xq, dev, self.ell_meta, self.nrows)
         else:
-            out = ell_scan_spmm_quant(
-                x, safe, qdt, dev["cols2d"], dev["vals2d"],
-                dev["vrow_to_row"], chunk, degree, self.nrows,
+            def _quant_table(x_, c, v, r, chunk, degree, nrows, out=None):
+                return ell_scan_spmm_quant(
+                    x_, safe, qdt, c, v, r, chunk, degree, nrows, out=out
+                )
+
+            out = _ell_tail_all(
+                x, dev, self.ell_meta, self.nrows, part_of=_quant_table
             )
         if self.config.backend == "hybrid":
             acc = accum_dtype(jnp.result_type(jnp.float32, jnp.dtype(qdt)))
@@ -1194,19 +1259,34 @@ class PreparedSpmm:
             return jax.jit(fn)
 
         if b in ("ell", "hybrid"):
-            chunk, degree = self.row_chunk, self.ell_degree
+            meta = self.ell_meta
+            n_t = len(meta)
             g = gather_only()
-            out["gather_time(ms)"] = (
-                device_time(g, x, d["cols2d"], iters=iters) * 1e3
+            out["gather_time(ms)"] = sum(
+                device_time(
+                    g, x, d[f"cols2d{_ell_suffix(i)}"], iters=iters
+                ) * 1e3
+                for i in range(n_t)
             )
-            tail = jax.jit(
-                lambda x, c, v, r: ell_scan_spmm(
-                    x, c, v, r, chunk, degree, self.nrows
-                )
-            )
+
+            def tail_fn(x, *arrs):
+                o = None
+                for i, (chunk, degree) in enumerate(meta):
+                    c, v, r = arrs[3 * i : 3 * i + 3]
+                    o = ell_scan_spmm(
+                        x, c, v, r, chunk, degree, self.nrows, out=o
+                    )
+                return o
+
+            tail_args = []
+            for i in range(n_t):
+                sfx = _ell_suffix(i)
+                tail_args += [
+                    d[f"cols2d{sfx}"], d[f"vals2d{sfx}"],
+                    d[f"vrow_to_row{sfx}"],
+                ]
             out["tail_time(ms)"] = device_time(
-                tail, x, d["cols2d"], d["vals2d"], d["vrow_to_row"],
-                iters=iters,
+                jax.jit(tail_fn), x, *tail_args, iters=iters
             ) * 1e3
         if b == "hybrid" and self.hybrid_k_eff > 0:
             core = jax.jit(
@@ -1281,34 +1361,27 @@ def _make_run(backend: str, prep: PreparedSpmm):
         return run
 
     if backend == "ell":
-        chunk = prep.row_chunk
-        degree = prep.ell_degree
+        meta = list(prep.ell_meta)
 
-        def run(x, cols2d, vals2d, vrow_to_row):
-            return ell_scan_spmm(
-                x, cols2d, vals2d, vrow_to_row, chunk, degree, nrows
-            )
+        def run(x, **dev):
+            return _ell_tail_all(x, dev, meta, nrows)
         return run
 
     if backend == "hybrid":
-        chunk = prep.row_chunk
-        degree = prep.ell_degree
+        meta = list(prep.ell_meta)
         has_core = prep.hybrid_k_eff > 0
         has_bcsr = getattr(prep, "has_bcsr", False)
         if has_bcsr:
             b_step, b_n_rb = prep.bcsr_step, prep.bcsr_n_rb
             b_panel = prep.bcsr_kind == "panel"
 
-        def run(x, cols2d, vals2d, vrow_to_row, core=None, core_nodes=None,
-                tiles=None, panel_idx=None, vblock_to_rb=None, tile_rb=None,
-                panel_nodes=None, row_nodes=None):
+        def run(x, **dev):
             acc = accum_dtype(jnp.result_type(jnp.float32, x.dtype))
-            out = ell_scan_spmm(
-                x, cols2d, vals2d, vrow_to_row, chunk, degree, nrows
-            )
+            out = _ell_tail_all(x, dev, meta, nrows)
             if has_core:
+                core_nodes = dev["core_nodes"]
                 core_out = _core_matmul(
-                    core, jnp.take(x, core_nodes, axis=0), acc
+                    dev["core"], jnp.take(x, core_nodes, axis=0), acc
                 )
                 out = out.at[core_nodes].add(core_out.astype(out.dtype))
             if has_bcsr:
@@ -1322,13 +1395,15 @@ def _make_run(backend: str, prep: PreparedSpmm):
                 cd = jnp.float32 if wide else None
                 if b_panel:
                     out = bcsr_panel_scan_spmm(
-                        x, panel_nodes, tiles, panel_idx, tile_rb,
-                        row_nodes, out, b_step, compute_dtype=cd,
+                        x, dev["panel_nodes"], dev["tiles"],
+                        dev["panel_idx"], dev["tile_rb"],
+                        dev["row_nodes"], out, b_step, compute_dtype=cd,
                     )
                 else:
                     out = bcsr_scan_spmm(
-                        x, panel_nodes, tiles, panel_idx, vblock_to_rb,
-                        row_nodes, out, b_step, compute_dtype=cd,
+                        x, dev["panel_nodes"], dev["tiles"],
+                        dev["panel_idx"], dev["vblock_to_rb"],
+                        dev["row_nodes"], out, b_step, compute_dtype=cd,
                     )
             return out
         return run

@@ -77,7 +77,12 @@ def test_merge_shrinks_int4_demotion_tail():
             g, SpmmConfig(backend="hybrid", hybrid_k=256,
                           hybrid_dtype="int4", merge_duplicates=flag)
         )
-        tails[flag] = int((np.asarray(prep._dev["vals2d"]) != 0).sum())
+        # sum over every multi-degree ELL table (vals2d, vals2d_1, ...)
+        tails[flag] = sum(
+            int((np.asarray(v) != 0).sum())
+            for key, v in prep._dev.items()
+            if key.startswith("vals2d")
+        )
     # merged demotion is per-cell; unmerged is per-duplicate-edge
     assert tails[True] < 0.6 * tails[False], tails
 

@@ -131,10 +131,85 @@ def test_ell_auto_degree(rng):
     coo = random_coo(rng, nrows=200, ncols=200, nnz=3000)
     x = rng.standard_normal((200, 8)).astype(np.float32)
     prep = prepare_spmm(coo, SpmmConfig(backend="ell"))
-    assert 4 <= prep.ell_degree <= 128
+    assert 2 <= prep.ell_degree <= 128
     np.testing.assert_allclose(
         np.asarray(prep.mul(x)), _dense_ref(coo, x), rtol=1e-4, atol=1e-4
     )
+
+
+def _zipf_coo(rng, n=800, about_nnz=12000):
+    """Power-law degree graph: exercises the multi-degree split (short
+    rows AND >degree hub rows in one tail)."""
+    from pygim_tpu.core.graph import CooGraph
+
+    deg = np.minimum(rng.zipf(1.4, n), 400)
+    deg = (deg * (about_nnz / deg.sum())).astype(np.int64) + 1
+    rows = np.repeat(np.arange(n), deg)
+    cols = rng.integers(0, n, rows.size)
+    return CooGraph.from_edges(rows, cols, nrows=n, ncols=n)
+
+
+class TestMultiDegreeEll:
+    """Multi-degree ELL tables (round 4): rows split across per-degree
+    tables by the measured padding-vs-virtual-row cost model."""
+
+    def test_ell_multi_tables_match_oracle(self, rng):
+        coo = _zipf_coo(rng)
+        x = rng.standard_normal((coo.ncols, 16)).astype(np.float32)
+        prep = prepare_spmm(
+            coo, SpmmConfig(backend="ell", block_nnz_budget=512)
+        )
+        assert len(prep.ell_meta) >= 2, "zipf tail should pick >1 table"
+        np.testing.assert_allclose(
+            np.asarray(prep.mul(x)), _dense_ref(coo, x),
+            rtol=1e-4, atol=1e-4,
+        )
+
+    def test_single_table_pin_matches_multi(self, rng):
+        coo = _zipf_coo(rng)
+        x = rng.standard_normal((coo.ncols, 8)).astype(np.float32)
+        multi = prepare_spmm(coo, SpmmConfig(backend="ell"))
+        single = prepare_spmm(
+            coo, SpmmConfig(backend="ell", ell_tables=1)
+        )
+        assert len(single.ell_meta) == 1
+        np.testing.assert_allclose(
+            np.asarray(multi.mul(x)), np.asarray(single.mul(x)),
+            rtol=1e-4, atol=1e-4,
+        )
+
+    def test_hybrid_multi_tail_matches_oracle(self):
+        rng = np.random.default_rng(1234)
+        coo = _zipf_coo(rng)
+        x = rng.standard_normal((coo.ncols, 16)).astype(np.float32)
+        # f32 core: isolates the multi-table tail under test from core
+        # rounding (the dtype'd cores have their own tests)
+        prep = prepare_spmm(
+            coo,
+            SpmmConfig(
+                backend="hybrid", hybrid_k=128, block_nnz_budget=512,
+            ),
+        )
+        got = np.asarray(prep.mul(x))
+        np.testing.assert_allclose(
+            got, _dense_ref(coo, x), rtol=1e-4, atol=1e-4
+        )
+
+    def test_hybrid_multi_fused_quant(self, rng):
+        from pygim_tpu.quant import symmetric_dequantize, symmetric_quantize
+
+        coo = _zipf_coo(rng)
+        x = rng.standard_normal((coo.ncols, 8)).astype(np.float32)
+        prep = prepare_spmm(
+            coo,
+            SpmmConfig(backend="hybrid", hybrid_k=128, hybrid_dtype="int8"),
+        )
+        got = np.asarray(prep.mul_quantized(x, "int8"))
+        scale, xq = symmetric_quantize(x, "int8")
+        ref = np.asarray(
+            symmetric_dequantize(prep.mul(xq), 1.0, scale)
+        )
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
 def test_sddmm_blocked_matches_oracle(rng):
