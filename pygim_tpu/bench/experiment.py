@@ -49,6 +49,8 @@ class Experiment:
     balance: str = "nnz"
     block_nnz_budget: int = 1 << 17
     ell_degree: int = 0                # 0 = auto (choose_ell_degree)
+    ell_tables: int = 3                # auto-degree: max multi-degree ELL
+                                       # tables (1 = single-table A/B)
     hybrid_core_bytes: int = 4 << 30   # hybrid backend core budget
     hybrid_dtype: str = ""             # "" = vals dtype; "bfloat16" option
     bcsr_bytes: int = 0                # hybrid BCSR middle-tier budget
@@ -102,6 +104,7 @@ class Experiment:
             format=self.sp_format, backend=self.backend,
             balance=self.balance, block_nnz_budget=self.block_nnz_budget,
             ell_degree=self.ell_degree or None,
+            ell_tables=self.ell_tables,
             hybrid_core_bytes=self.hybrid_core_bytes,
             hybrid_dtype=self.hybrid_dtype or None,
             bcsr_bytes=self.bcsr_bytes, bcsr_tile=self.bcsr_tile,

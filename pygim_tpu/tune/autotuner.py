@@ -135,7 +135,11 @@ def plan_statistics(
     k_hybrid = None
     ell_scale = 1.0  # tail shrink from BCSR-tier capture
     if config.backend in ("ell", "hybrid"):
-        from pygim_tpu.core.partition import choose_ell_degree
+        from pygim_tpu.core.partition import (
+            assign_ell_tables,
+            choose_ell_degree,
+            choose_ell_degrees,
+        )
 
         if "deg" not in memo:
             memo["deg"] = np.diff(csr.rowptr).astype(np.int64)
@@ -251,12 +255,33 @@ def plan_statistics(
                     1.0 - bcsr["captured_edges"]
                     / max(1, bcsr["tail_edges"]),
                 )
-        D = config.ell_degree or choose_ell_degree(deg, hidden=hidden)
-        n_vr = -(-deg[deg > 0] // D)
-        padded_nnz = int(n_vr.sum() * D * ell_scale)
+        # multi-degree ELL (round 4): rows split over per-degree tables
+        # exactly as the prepare does (choose_ell_degrees +
+        # assign_ell_tables share the measured cost constants), so the
+        # tuner's padded-slot and virtual-row counts match the built
+        # tables.
+        if config.ell_degree:
+            d_list: "tuple[int, ...]" = (config.ell_degree,)
+        elif config.ell_tables <= 1:
+            d_list = (choose_ell_degree(deg, hidden=hidden),)
+        else:
+            d_list = choose_ell_degrees(
+                deg, hidden=hidden, max_tables=config.ell_tables
+            )
+        pick = assign_ell_tables(deg, d_list, hidden=hidden)
+        n_vr_total = 0
+        padded = 0
+        for gi, d_g in enumerate(d_list):
+            sub = deg[pick == gi]
+            if sub.size == 0:
+                continue
+            nv = int((-(-sub // d_g)).sum())
+            n_vr_total += nv
+            padded += nv * d_g
+        padded_nnz = int(padded * ell_scale)
         # merge of virtual rows: one write + one scattered read per vrow
         scatter_bytes = int(
-            2 * int(n_vr.sum()) * h_local * dtype_bytes * ell_scale
+            2 * n_vr_total * h_local * dtype_bytes * ell_scale
         )
     else:
         padded_nnz = nb * plan_rb.nnz_pad
