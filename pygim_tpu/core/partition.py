@@ -384,13 +384,17 @@ def build_ell_rows_multi(
     degrees: "tuple[int, ...]",
     hidden: Optional[int] = None,
     row_chunk_for=None,
+    keep_empty: bool = False,
 ) -> "list[EllRows]":
     """Multi-degree ELL tables: each row's edges land in exactly ONE
     table — the degree minimizing its measured cost (assign_ell_tables) —
     so the tables' scatter-adds into the output are disjoint and order-
     free. Returns one EllRows per SURVIVING degree (a degree nobody
-    picked is dropped). ``row_chunk_for(D)`` supplies each table's scan
-    chunk (defaults to 1)."""
+    picked is dropped) — unless ``keep_empty``, which materializes every
+    degree (possibly with zero virtual rows) so tables align by index
+    across SPMD shards that plan against a COMBINED histogram.
+    ``row_chunk_for(D)`` supplies each table's scan chunk (defaults
+    to 1)."""
     lens = csr.row_lengths
     pick = assign_ell_tables(lens, degrees, hidden)
     deg64 = lens.astype(np.int64)
@@ -398,7 +402,7 @@ def build_ell_rows_multi(
     out: "list[EllRows]" = []
     for gi, D in enumerate(degrees):
         rmask = pick == gi
-        if not rmask.any():
+        if not rmask.any() and not keep_empty:
             continue
         sub_lens = np.where(rmask, deg64, 0)
         rowptr = np.zeros(csr.nrows + 1, dtype=np.int64)

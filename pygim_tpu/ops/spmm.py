@@ -234,6 +234,86 @@ def _ell_tail_all(x, dev: dict, meta, nrows: int, out=None, part_of=None):
     return out
 
 
+def plan_shared_ell_tables(parts, config, vfill: int):
+    """Multi-degree ELL tables with ONE static shape across SPMD shards.
+
+    The shard_map paths (parallel/spmm_2d.py, parallel/halo.py) need
+    identical per-shard table shapes, so unlike the single-chip planner
+    (:func:`_plan_ell_tables`) the degrees come from the COMBINED degree
+    histogram of all parts and every part materializes every table
+    (possibly empty — ``build_ell_rows_multi(keep_empty=True)``), padded
+    to the max virtual-row count over parts.
+
+    Returns ``(stacked, meta)``: ``stacked["cols2d{sfx}"]`` etc. are
+    numpy arrays in step layout stacked over parts (leading device dim,
+    caller shards them); ``meta`` is the static ``[(chunk, degree)]``
+    list the run paths close over. Padding rows carry val 0 and vrow
+    ``vfill`` (callers pass their last local row, keeping the per-shard
+    segment stream sorted and the extra adds harmless)."""
+    from pygim_tpu.core.partition import (
+        build_ell_rows_multi,
+        choose_ell_degree,
+        choose_ell_degrees,
+    )
+
+    all_len = np.concatenate([p.row_lengths for p in parts])
+    if config.ell_degree:
+        degrees: "tuple[int, ...]" = (config.ell_degree,)
+    elif config.ell_tables <= 1:
+        degrees = (choose_ell_degree(all_len, hidden=config.hidden_hint),)
+    else:
+        degrees = choose_ell_degrees(
+            all_len, hidden=config.hidden_hint,
+            max_tables=config.ell_tables,
+        )
+    per_part = [
+        build_ell_rows_multi(
+            p, degrees, hidden=config.hidden_hint,
+            row_chunk_for=lambda D: _ell_chunk(config, D),
+            keep_empty=True,
+        )
+        for p in parts
+    ]
+    stacked, meta = {}, []
+    for i, D in enumerate(degrees):
+        chunk = _ell_chunk(config, D)
+        nvr = round_up(
+            max(tabs[i].cols.shape[0] for tabs in per_part), chunk
+        )
+
+        def pad(a, fill=0):
+            out = np.full((nvr,) + a.shape[1:], fill, dtype=a.dtype)
+            out[: a.shape[0]] = a
+            return out
+
+        steps = [
+            ell_step_tables(
+                pad(tabs[i].cols), pad(tabs[i].vals),
+                pad(tabs[i].vrow_to_row, vfill), chunk,
+            )
+            for tabs in per_part
+        ]
+        sfx = _ell_suffix(i)
+        stacked[f"cols2d{sfx}"] = np.stack([t[0] for t in steps])
+        stacked[f"vals2d{sfx}"] = np.stack([t[1] for t in steps])
+        stacked[f"vrow_to_row{sfx}"] = np.stack([t[2] for t in steps])
+        meta.append((chunk, D))
+    return stacked, meta
+
+
+def shared_ell_keys(meta, prefix: str = "") -> "list[str]":
+    """Flat device-dict key list for ``meta`` tables, in the positional
+    order the shard_map run bodies consume them."""
+    keys = []
+    for i in range(len(meta)):
+        sfx = _ell_suffix(i)
+        keys += [
+            f"{prefix}cols2d{sfx}", f"{prefix}vals2d{sfx}",
+            f"{prefix}vrow_to_row{sfx}",
+        ]
+    return keys
+
+
 # Per-call byte cap on the stacked ELL partial. Grouping trades the
 # round-1 single segment-sum (fast, but an (nvr, H) HLO temp — 2.9 GB at
 # ogbn-products scale) against the round-2 per-step scatter carry (memory

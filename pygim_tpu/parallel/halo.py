@@ -45,11 +45,7 @@ from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from pygim_tpu.core.graph import CsrGraph
-from pygim_tpu.core.partition import (
-    build_ell_rows,
-    choose_ell_degree,
-    round_up,
-)
+from pygim_tpu.core.partition import round_up
 from pygim_tpu.ops.spmm import SpmmConfig, _core_matmul, ell_scan_spmm
 
 
@@ -452,54 +448,30 @@ class PreparedSpmmHalo:
         self.bcsr_step = step
         self.bcsr_edges = captured
 
-    def _ell_tables(self, parts, ncols_local_fn):
-        """Shared-shape fixed-degree ELL tables per device part (the ell
-        backend's formulation, shared with the 2D mesh path)."""
-        cfg = self.config
-        all_len = np.concatenate([p.row_lengths for p in parts])
-        degree = cfg.ell_degree or choose_ell_degree(
-            all_len, hidden=cfg.hidden_hint
+    def _ell_tables(self, parts, prefix: str = ""):
+        """Shared-shape multi-degree ELL tables per device part (the ell
+        backend's formulation, shared with the 2D mesh path). Returns
+        ``(dev, meta)``: prefixed device arrays sharded on "nodes" and
+        the static [(chunk, degree)] list. Virtual-row padding targets
+        the last local row (keeps indices sorted for the scatter-add);
+        padded vals are 0 so the add is harmless."""
+        from pygim_tpu.ops.spmm import plan_shared_ell_tables
+
+        stacked, meta = plan_shared_ell_tables(
+            parts, self.config, vfill=max(self.rows_per_dev - 1, 0)
         )
-        chunk = max(8, round_up(max(1, cfg.block_nnz_budget // degree), 8))
-        ells = [build_ell_rows(p, degree, row_chunk=chunk) for p in parts]
-        nvr_pad = round_up(max(e.cols.shape[0] for e in ells), chunk)
-
-        def pad_part(a, fill=0):
-            out = np.full((nvr_pad,) + a.shape[1:], fill, dtype=a.dtype)
-            out[: a.shape[0]] = a
-            return out
-
-        # vrow padding targets the last local row (keeps indices sorted
-        # for the scatter-add); padded vals are 0 so the add is harmless
-        vfill = max(self.rows_per_dev - 1, 0)
-        self.ell_degree, self.row_chunk = degree, chunk
-        from pygim_tpu.ops.spmm import ell_step_tables
-
-        steps = [
-            ell_step_tables(
-                pad_part(e.cols), pad_part(e.vals),
-                pad_part(e.vrow_to_row, vfill), chunk,
-            )
-            for e in ells
-        ]
+        self.ell_degree, self.row_chunk = meta[0][1], meta[0][0]
         sh = NamedSharding(self.mesh, P("nodes"))
         return {
-            "cols2d": jax.device_put(
-                np.stack([t[0] for t in steps]), sh
-            ),
-            "vals2d": jax.device_put(
-                np.stack([t[1] for t in steps]), sh
-            ),
-            "vrow_to_row": jax.device_put(
-                np.stack([t[2] for t in steps]), sh
-            ),
-        }
+            f"{prefix}{k}": jax.device_put(v, sh)
+            for k, v in stacked.items()
+        }, meta
 
     def _plan_all_gather(self, parts):
         # colind stays global; each shard gathers from the replicated x
         self.halo_k = self.n_pad  # every device receives all rows
         self.request_rows = (self.nd - 1) * self.rows_per_dev * self.nd
-        self._dev = self._ell_tables(parts, None)
+        self._dev, self.ell_meta = self._ell_tables(parts)
 
     def _plan_all_to_all(self, parts, bounds):
         nd, rpd = self.nd, self.rows_per_dev
@@ -606,14 +578,14 @@ class PreparedSpmmHalo:
 
             local_parts.append(rebuild(is_local, rpd))
             halo_parts.append(rebuild(~is_local, halo_rows))
-        local_tabs = self._ell_tables(local_parts, None)
-        self._local_chunk = self.row_chunk
-        self._local_degree = self.ell_degree
-        halo_tabs = self._ell_tables(halo_parts, None)
-        self._halo_chunk = self.row_chunk
-        self._halo_degree = self.ell_degree
-        self._dev = {f"local_{k2}": v for k2, v in local_tabs.items()}
-        self._dev.update({f"halo_{k2}": v for k2, v in halo_tabs.items()})
+        local_tabs, self._local_meta = self._ell_tables(
+            local_parts, prefix="local_"
+        )
+        halo_tabs, self._halo_meta = self._ell_tables(
+            halo_parts, prefix="halo_"
+        )
+        self._dev = dict(local_tabs)
+        self._dev.update(halo_tabs)
         if ring:
             self._dev.update(send_tabs)
         else:
@@ -624,9 +596,10 @@ class PreparedSpmmHalo:
     # ------------------------------------------------------------ run fns
 
     def _build_run(self):
+        from pygim_tpu.ops.spmm import shared_ell_keys
+
         mesh, nd = self.mesh, self.nd
         rpd = self.rows_per_dev
-        chunk, degree = self.row_chunk, self.ell_degree
         hybrid = self.hybrid_k_eff > 0
         has_bcsr = self.has_bcsr
         b_step = self.bcsr_step if has_bcsr else 0
@@ -657,15 +630,22 @@ class PreparedSpmmHalo:
             return out.at[own_hub[0]].add(co.astype(out.dtype))
 
         if self.exchange == "all_gather":
+            meta = self.ell_meta
+            n_ell = 3 * len(meta)
 
-            def local_fn(cols2d, vals2d, vrow_to_row, x_local, *rest):
+            def local_fn(*args):
+                ell_args, x_local = args[:n_ell], args[n_ell]
+                rest = args[n_ell + 1:]
                 x_full = jax.lax.all_gather(
                     x_local[0], "nodes", tiled=True
                 )
-                out = ell_scan_spmm(
-                    x_full, cols2d[0], vals2d[0], vrow_to_row[0],
-                    chunk, degree, rpd,
-                )
+                out = None
+                for i, (chunk, degree) in enumerate(meta):
+                    c, v, r = ell_args[3 * i: 3 * i + 3]
+                    out = ell_scan_spmm(
+                        x_full, c[0], v[0], r[0], chunk, degree, rpd,
+                        out=out,
+                    )
                 if hybrid:
                     # x_full already holds every hub row — assemble the
                     # gathered-order buffer with a take, no 2nd collective
@@ -679,12 +659,12 @@ class PreparedSpmmHalo:
                     )
                 return out[None]
 
-            in_specs = (P("nodes"),) * 4 + (
+            in_specs = (P("nodes"),) * (n_ell + 1) + (
                 (P("nodes"), P("nodes"), P()) if hybrid else ()
             ) + ((P("nodes"),) * 5 if has_bcsr else ())
 
             def runner(dev, xp):
-                args = [dev["cols2d"], dev["vals2d"], dev["vrow_to_row"], xp]
+                args = [dev[k] for k in shared_ell_keys(meta)] + [xp]
                 if hybrid:
                     args += [
                         dev["core_slab"], dev["core_own"],
@@ -698,12 +678,14 @@ class PreparedSpmmHalo:
                 )(*args)
 
         elif self.exchange == "ring":
-            lc, ld = self._local_chunk, self._local_degree
-            hc, hd = self._halo_chunk, self._halo_degree
+            lmeta, hmeta = self._local_meta, self._halo_meta
+            n_l, n_h = 3 * len(lmeta), 3 * len(hmeta)
             n_shift = nd - 1
 
-            def local_fn(lcols, lvals, lvrow, hcols, hvals, hvrow,
-                         *rest):
+            def local_fn(*args):
+                l_args = args[:n_l]
+                h_args = args[n_l: n_l + n_h]
+                rest = args[n_l + n_h:]
                 send_tabs, x_local = rest[:n_shift], rest[n_shift]
                 x_loc = x_local[0]
                 # per-shift ppermute with per-shift buffer sizes; XLA
@@ -718,14 +700,19 @@ class PreparedSpmmHalo:
                         perm=[(j, (j + s) % nd) for j in range(nd)],
                     )
                     blocks.append(rcv)
-                out = ell_scan_spmm(
-                    x_loc, lcols[0], lvals[0], lvrow[0], lc, ld, rpd
-                )
+                out = None
+                for i, (lc, ld) in enumerate(lmeta):
+                    c, v, r = l_args[3 * i: 3 * i + 3]
+                    out = ell_scan_spmm(
+                        x_loc, c[0], v[0], r[0], lc, ld, rpd, out=out
+                    )
                 if blocks:  # nd == 1: no peers, every edge is local
                     halo = jnp.concatenate(blocks, axis=0)
-                    out = out + ell_scan_spmm(
-                        halo, hcols[0], hvals[0], hvrow[0], hc, hd, rpd
-                    )
+                    for i, (hc, hd) in enumerate(hmeta):
+                        c, v, r = h_args[3 * i: 3 * i + 3]
+                        out = ell_scan_spmm(
+                            halo, c[0], v[0], r[0], hc, hd, rpd, out=out
+                        )
                 if hybrid:
                     out = core_add(
                         out, x_loc,
@@ -738,14 +725,14 @@ class PreparedSpmmHalo:
                 return out[None]
 
             in_specs = (P("nodes"),) * (
-                7 + nd - 1 + n_core_args + (5 if has_bcsr else 0)
+                n_l + n_h + 1 + nd - 1 + n_core_args
+                + (5 if has_bcsr else 0)
             )
 
             def runner(dev, xp):
                 args = [
-                    dev["local_cols2d"], dev["local_vals2d"],
-                    dev["local_vrow_to_row"], dev["halo_cols2d"],
-                    dev["halo_vals2d"], dev["halo_vrow_to_row"],
+                    *[dev[k] for k in shared_ell_keys(lmeta, "local_")],
+                    *[dev[k] for k in shared_ell_keys(hmeta, "halo_")],
                     *[dev[f"send_idx_{i}"] for i in range(nd - 1)],
                     xp,
                 ]
@@ -760,13 +747,14 @@ class PreparedSpmmHalo:
 
         else:
             K = self.halo_k
-            lc, ld = self._local_chunk, self._local_degree
-            hc, hd = self._halo_chunk, self._halo_degree
+            lmeta, hmeta = self._local_meta, self._halo_meta
+            n_l, n_h = 3 * len(lmeta), 3 * len(hmeta)
 
-            def local_fn(
-                lcols, lvals, lvrow, hcols, hvals, hvrow, send_idx,
-                x_local, *rest
-            ):
+            def local_fn(*args):
+                l_args = args[:n_l]
+                h_args = args[n_l: n_l + n_h]
+                send_idx, x_local = args[n_l + n_h], args[n_l + n_h + 1]
+                rest = args[n_l + n_h + 2:]
                 x_loc = x_local[0]                     # (rpd, H)
                 # start the exchange: rows each peer requested
                 send = jnp.take(x_loc, send_idx[0].reshape(-1), axis=0)
@@ -776,15 +764,20 @@ class PreparedSpmmHalo:
                 )
                 # local-only edges depend ONLY on x_loc — XLA's scheduler
                 # overlaps this scan with the in-flight all_to_all
-                out = ell_scan_spmm(
-                    x_loc, lcols[0], lvals[0], lvrow[0], lc, ld, rpd
-                )
+                out = None
+                for i, (lc, ld) in enumerate(lmeta):
+                    c, v, r = l_args[3 * i: 3 * i + 3]
+                    out = ell_scan_spmm(
+                        x_loc, c[0], v[0], r[0], lc, ld, rpd, out=out
+                    )
                 # halo edges consume the received buffer (peer p's chunk
                 # lands in slot p, ordered by source device)
-                out = out + ell_scan_spmm(
-                    halo.reshape(nd * K, -1), hcols[0], hvals[0], hvrow[0],
-                    hc, hd, rpd,
-                )
+                halo2 = halo.reshape(nd * K, -1)
+                for i, (hc, hd) in enumerate(hmeta):
+                    c, v, r = h_args[3 * i: 3 * i + 3]
+                    out = ell_scan_spmm(
+                        halo2, c[0], v[0], r[0], hc, hd, rpd, out=out
+                    )
                 if hybrid:
                     out = core_add(out, x_loc, *rest[:2])
                 if has_bcsr:
@@ -792,14 +785,13 @@ class PreparedSpmmHalo:
                 return out[None]
 
             in_specs = (P("nodes"),) * (
-                8 + n_core_args + (5 if has_bcsr else 0)
+                n_l + n_h + 2 + n_core_args + (5 if has_bcsr else 0)
             )
 
             def runner(dev, xp):
                 args = [
-                    dev["local_cols2d"], dev["local_vals2d"],
-                    dev["local_vrow_to_row"], dev["halo_cols2d"],
-                    dev["halo_vals2d"], dev["halo_vrow_to_row"],
+                    *[dev[k] for k in shared_ell_keys(lmeta, "local_")],
+                    *[dev[k] for k in shared_ell_keys(hmeta, "halo_")],
                     dev["send_idx"], xp,
                 ]
                 if hybrid:
@@ -871,21 +863,30 @@ class PreparedSpmmHalo:
             xp.reshape(nd, rpd, -1), self._x_sharding
         )
         if self.exchange in ("all_to_all", "ring"):
-            lc, ld = self._local_chunk, self._local_degree
+            from pygim_tpu.ops.spmm import shared_ell_keys
 
-            def local_only(lcols, lvals, lvrow, xl):
-                return ell_scan_spmm(
-                    xl[0], lcols[0], lvals[0], lvrow[0], lc, ld, rpd
-                )[None]
+            lmeta = self._local_meta
+            n_l = 3 * len(lmeta)
+
+            def local_only(*args):
+                xl = args[n_l]
+                out = None
+                for i, (lc, ld) in enumerate(lmeta):
+                    c, v, r = args[3 * i: 3 * i + 3]
+                    out = ell_scan_spmm(
+                        xl[0], c[0], v[0], r[0], lc, ld, rpd, out=out
+                    )
+                return out[None]
 
             fn = jax.jit(jax.shard_map(
-                local_only, mesh=mesh, in_specs=(P("nodes"),) * 4,
+                local_only, mesh=mesh,
+                in_specs=(P("nodes"),) * (n_l + 1),
                 out_specs=P("nodes"),
             ))
             d = self._dev
             local = device_time(
-                fn, d["local_cols2d"], d["local_vals2d"],
-                d["local_vrow_to_row"], xp, iters=iters,
+                fn, *[d[k] for k in shared_ell_keys(lmeta, "local_")],
+                xp, iters=iters,
             ) * 1e3
             out["local_time(ms)"] = local
             core = 0.0

@@ -29,11 +29,7 @@ from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from pygim_tpu.core.graph import CsrGraph
-from pygim_tpu.core.partition import (
-    build_ell_rows,
-    choose_ell_degree,
-    round_up,
-)
+from pygim_tpu.core.partition import round_up
 from pygim_tpu.ops.spmm import SpmmConfig, _core_matmul, ell_scan_spmm
 
 
@@ -89,52 +85,24 @@ class PreparedSpmm2D:
             if config.bcsr_bytes > 0:
                 self._plan_bcsr_2d(csr, parts, config)
 
-        # per-shard fixed-degree ELL tables (the ell backend's formulation,
-        # the fastest gather-engine path measured — docs/PERF.md), with one
-        # static shape across all sp parts: shared degree D and chunk,
+        # per-shard multi-degree ELL tables (the ell backend's
+        # formulation, the fastest gather-engine path measured —
+        # docs/PERF.md), with one static shape across all sp parts:
+        # degrees chosen from the COMBINED histogram, per-table
         # virtual-row dim padded to the max over parts (pad rows have
         # val 0 / vrow nrows-1 — harmless additions that keep the segment
         # stream sorted).
-        degree = config.ell_degree or choose_ell_degree(
-            csr.row_lengths, hidden=config.hidden_hint
+        from pygim_tpu.ops.spmm import plan_shared_ell_tables
+
+        stacked, self.ell_meta = plan_shared_ell_tables(
+            parts, config, vfill=max(self.nrows - 1, 0)
         )
-        chunk = max(8, round_up(
-            max(1, config.block_nnz_budget // degree), 8
-        ))
-        ells = [build_ell_rows(p, degree, row_chunk=chunk) for p in parts]
-        nvr_pad = max(e.cols.shape[0] for e in ells)
-        nvr_pad = round_up(nvr_pad, chunk)
-
-        def pad_part(a, fill=0):
-            out = np.full((nvr_pad,) + a.shape[1:], fill, dtype=a.dtype)
-            out[: a.shape[0]] = a
-            return out
-
-        self.ell_degree, self.row_chunk = degree, chunk
-        self.n_virtual_pad = nvr_pad
-        # step layout per part (ops/spmm.py:ell_step_tables — avoids the
-        # 128-lane padding of the D axis and the in-jit repack copy)
-        from pygim_tpu.ops.spmm import ell_step_tables
-
-        steps = [
-            ell_step_tables(
-                pad_part(e.cols), pad_part(e.vals),
-                pad_part(e.vrow_to_row, fill=max(self.nrows - 1, 0)),
-                chunk,
-            )
-            for e in ells
-        ]
+        self.ell_degree, self.row_chunk = (
+            self.ell_meta[0][1], self.ell_meta[0][0],
+        )
         sharded = NamedSharding(mesh, P("sp"))
         self._dev = {
-            "cols2d": jax.device_put(
-                np.stack([t[0] for t in steps]), sharded
-            ),
-            "vals2d": jax.device_put(
-                np.stack([t[1] for t in steps]), sharded
-            ),
-            "vrow_to_row": jax.device_put(
-                np.stack([t[2] for t in steps]), sharded
-            ),
+            k: jax.device_put(v, sharded) for k, v in stacked.items()
         }
         self._x_sharding = NamedSharding(mesh, P("sp", "ds"))
         self._run = self._build_run()
@@ -368,7 +336,8 @@ class PreparedSpmm2D:
 
     def _build_run(self):
         mesh = self.mesh
-        chunk, degree = self.row_chunk, self.ell_degree
+        meta = self.ell_meta
+        n_ell = 3 * len(meta)
         hybrid = self.hybrid_k_eff > 0
         scatter = self.scatter_output
         sp = self.sp
@@ -380,12 +349,18 @@ class PreparedSpmm2D:
         b_step = self.bcsr_step if has_bcsr else 0
 
         def mk_local_fn(merge: bool):
-            def local_fn(cols2d, vals2d, vrow_to_row, x_local, *rest):
-                # leading sp dim arrives as size-1 block; squeeze it
-                out = ell_scan_spmm(
-                    x_local, cols2d[0], vals2d[0], vrow_to_row[0],
-                    chunk, degree, nrows,
-                )
+            def local_fn(*args):
+                ell_args, x_local = args[:n_ell], args[n_ell]
+                rest = args[n_ell + 1:]
+                # leading sp dim arrives as size-1 block; squeeze it.
+                # Tables hold disjoint row sets — accumulate in any order.
+                out = None
+                for i, (chunk, degree) in enumerate(meta):
+                    c, v, r = ell_args[3 * i: 3 * i + 3]
+                    out = ell_scan_spmm(
+                        x_local, c[0], v[0], r[0], chunk, degree, nrows,
+                        out=out,
+                    )
                 if hybrid:
                     core, core_rows, core_nodes = rest[:3]
                     co = _core_matmul(
@@ -419,7 +394,7 @@ class PreparedSpmm2D:
 
             return local_fn
 
-        in_specs = [P("sp"), P("sp"), P("sp"), P("sp", "ds")]
+        in_specs = [P("sp")] * n_ell + [P("sp", "ds")]
         if hybrid:
             in_specs += [P("sp"), P("sp"), P()]
         if has_bcsr:
@@ -449,7 +424,9 @@ class PreparedSpmm2D:
                     xp = jnp.zeros((self.ncols_pad, h_pad), dtype=x.dtype)
                     xp = xp.at[: x.shape[0], :h].set(x)
                 xp = jax.lax.with_sharding_constraint(xp, self._x_sharding)
-                args = [dev["cols2d"], dev["vals2d"], dev["vrow_to_row"], xp]
+                from pygim_tpu.ops.spmm import shared_ell_keys
+
+                args = [dev[k] for k in shared_ell_keys(meta)] + [xp]
                 if hybrid:
                     args += [dev["core"], dev["core_rows"], dev["core_nodes"]]
                 if has_bcsr:

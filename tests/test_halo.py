@@ -565,3 +565,34 @@ def test_halo_hybrid_integer_payload(rng, xdt):
     x = rng.integers(-4, 5, (n, 8)).astype(xdt)
     out = np.asarray(prep.mul(jnp.asarray(x)))
     np.testing.assert_array_equal(out.astype(np.int64), _dense_ref(coo, x))
+
+
+def _zipf_square_coo(rng, n=600, about_nnz=9000):
+    from pygim_tpu.core.graph import CooGraph
+
+    deg = np.minimum(rng.zipf(1.4, n), 300)
+    deg = (deg * (about_nnz / deg.sum())).astype(np.int64) + 1
+    rows = np.repeat(np.arange(n), deg)
+    cols = rng.integers(0, n, rows.size)
+    return CooGraph.from_edges(rows, cols, nrows=n, ncols=n)
+
+
+@pytest.mark.parametrize("exchange", ["all_gather", "all_to_all", "ring"])
+def test_halo_multi_degree_tables(rng, exchange):
+    """Multi-degree ELL tables on the halo layout (round 4): local and
+    halo edge sets each get their own shared-shape table split."""
+    coo = _zipf_square_coo(rng)
+    x = rng.standard_normal((coo.ncols, 16)).astype(np.float32)
+    prep = prepare_spmm_halo(
+        coo, make_node_mesh(4),
+        SpmmConfig(block_nnz_budget=512), exchange=exchange,
+    )
+    metas = (
+        [prep.ell_meta] if exchange == "all_gather"
+        else [prep._local_meta, prep._halo_meta]
+    )
+    assert any(len(m) >= 2 for m in metas), "zipf graph should split"
+    np.testing.assert_allclose(
+        np.asarray(prep.mul(jnp.asarray(x))), _dense_ref(coo, x),
+        rtol=1e-4, atol=1e-4,
+    )

@@ -360,3 +360,30 @@ def test_2d_bcsr_wide_int_exact(rng):
     assert prep.has_bcsr
     out = np.asarray(prep.mul(jnp.asarray(x)))
     np.testing.assert_array_equal(out, _dense_ref(coo, x))
+
+
+def _zipf_coo(rng, n=800, about_nnz=12000):
+    """Power-law degree graph (same shape as tests/test_spmm.py) — makes
+    the shared multi-degree planner pick >1 table."""
+    from pygim_tpu.core.graph import CooGraph
+
+    deg = np.minimum(rng.zipf(1.4, n), 400)
+    deg = (deg * (about_nnz / deg.sum())).astype(np.int64) + 1
+    rows = np.repeat(np.arange(n), deg)
+    cols = rng.integers(0, n, rows.size)
+    return CooGraph.from_edges(rows, cols, nrows=n, ncols=n)
+
+
+def test_2d_multi_degree_tables_match_dense(rng):
+    """Shared multi-degree ELL tables over the sp mesh (round 4): the
+    degrees come from the COMBINED histogram and every shard materializes
+    every table, so shapes stay SPMD-uniform."""
+    coo = _zipf_coo(rng)
+    x = rng.standard_normal((coo.ncols, 16)).astype(np.float32)
+    mesh = make_mesh(4, 2)
+    prep = prepare_spmm_2d(coo, mesh, SpmmConfig(block_nnz_budget=512))
+    assert len(prep.ell_meta) >= 2, "zipf graph should pick >1 table"
+    ref = coo.to_dense().astype(np.float64) @ x.astype(np.float64)
+    np.testing.assert_allclose(
+        np.asarray(prep.mul(jnp.asarray(x))), ref, rtol=1e-4, atol=1e-4
+    )
