@@ -16,10 +16,14 @@ DATASETS = {
 # BASELINE.md §3 tracked configs
 BASELINE_EXPERIMENTS = [
     # (1) single SpMM Reddit CSR FLT32 h=256 (with the per-phase timer
-    # breakdown the reference emitted per multiply); 12 GiB INT8 core =
-    # the round-3 measured best on the duplicate-merged graph (107.5 ms /
-    # 1102.7 GB/s; bf16 12 GiB = 144.7 ms kept as the float-valued-graph
-    # canonical point — docs/PERF.md round 3)
+    # breakdown the reference emitted per multiply); 12 GiB INT8 core +
+    # multi-degree ELL tail = the round-4 measured best (101.4 ms /
+    # 1168.9 GB/s, vs_baseline 2.03; round-3 single-table was 107.5 ms;
+    # bf16 12 GiB kept as the float-valued-graph canonical point —
+    # docs/PERF.md round 4). Budget sweep settled: the model prefers
+    # ~10 GiB but under-prices the tail — measured uniq 10 vs 12 GiB
+    # (158 vs 138 ms) says bigger core wins; 13+ GiB is break-even at
+    # best and risks HBM beside the dataset residency.
     Experiment(dataset="reddit", kind="spmm", sp_format="csr",
                dtype="float32", hidden=256, backend="hybrid", phases=True,
                hybrid_core_bytes=12 << 30, hybrid_dtype="int8"),
@@ -38,7 +42,8 @@ BASELINE_EXPERIMENTS = [
                dtype="float32", hidden=256, backend="hybrid", phases=True,
                hybrid_core_bytes=10 << 30, hybrid_dtype="int8"),
     # (2) 2-layer GCN Reddit FLT32 (with the per-layer activation check
-    # the BASELINE validation clause requires)
+    # the BASELINE validation clause requires) — round 4: 220.5 ms
+    # end-to-end, validated (int8 core, multi-degree tail)
     Experiment(dataset="reddit", kind="inference", model="gcn",
                num_layers=2, dtype="float32", hidden=256, backend="hybrid",
                hybrid_core_bytes=12 << 30, hybrid_dtype="int8",
@@ -58,8 +63,9 @@ BASELINE_EXPERIMENTS = [
     # but removes ≥5 ms of issue-bound tail gather at EVERY k that fits
     # HBM, and beats BCSR tiles ~3× in coverage per byte; int4 packing
     # (0.5 B/cell, >99% of cells are small duplicate-merge counts)
-    # doubles k² at the same budget — measured 2.24 s validated vs
-    # 2.52 s for the int8 core at the same 6 GiB (E8, docs/PERF.md).
+    # doubles k² at the same budget — round 4: 1.888 s validated with the
+    # multi-degree tail (round-3 single-table 2.2386 s; the int8 core at
+    # the same 6 GiB was 2.52 s — E8, docs/PERF.md).
     # The budget coexists with products' device residency (2.45M-node
     # hidden activations ≈ 2.5 GB/layer f32 + tail tables).
     Experiment(dataset="ogbn-products", kind="inference", model="gcn",

@@ -325,6 +325,28 @@ def choose_ell_degrees(
     return tuple(sorted(best[1]))
 
 
+def choose_degrees_for_config(row_lengths: np.ndarray, config) -> "tuple[int, ...]":
+    """The single authority for a (graph, config)'s ELL degree set:
+    pinned degree, single table, or the multi-table split. Used
+    identically by the single-chip prepare (ops/spmm.py:_plan_ell_tables),
+    the shared SPMD planner (plan_shared_ell_tables), and the tuner's
+    pricing (tune/autotuner.py:plan_statistics) — one copy, so the priced
+    tables can never drift from the built ones. The split reads
+    ``config.hidden_hint`` because that is what prepare reads; callers
+    pricing a different runtime width still price TIME at that width,
+    only the table SHAPES come from the hint."""
+    if config.ell_degree:
+        return (config.ell_degree,)
+    if config.ell_tables <= 1:
+        return (
+            choose_ell_degree(row_lengths, hidden=config.hidden_hint),
+        )
+    return choose_ell_degrees(
+        row_lengths, hidden=config.hidden_hint,
+        max_tables=config.ell_tables,
+    )
+
+
 def assign_ell_tables(
     row_lengths: np.ndarray,
     degrees: "tuple[int, ...]",

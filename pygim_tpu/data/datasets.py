@@ -136,13 +136,18 @@ def rmat_edges(
         # (e → n*n reachable mass) can accept ~nothing per batch without
         # ever being strictly impossible — fail loudly instead of looping
         # forever.
-        stalled = stalled + 1 if take.size < max(1, m // 1024) else 0
+        # Only zero-progress batches count as stalled: a batch that
+        # accepts ANY new edges is converging (slowly near saturation,
+        # but finitely), and aborting it would reject feasible requests
+        # (the round-4 review caught the old <m//1024 threshold doing
+        # exactly that).
+        stalled = stalled + 1 if take.size == 0 else 0
         if stalled >= 8:
             raise RuntimeError(
                 f"rmat_edges(unique=True) stalled at {have}/{e} unique "
-                f"edges after {stalled} near-empty batches — the request "
-                f"is too dense for this R-MAT skew (a={a}, b={b}, c={c}); "
-                "lower e or the skew"
+                f"edges after {stalled} zero-progress batches — the "
+                f"request saturates this R-MAT skew's reachable cells "
+                f"(a={a}, b={b}, c={c}); lower e or the skew"
             )
     return np.concatenate(out_r), np.concatenate(out_c)
 

@@ -180,21 +180,10 @@ def _plan_ell_tables(csr, config) -> "list[tuple[int, object]]":
     collapses to the single-table layout. Returns [(chunk, EllRows)]."""
     from pygim_tpu.core.partition import (
         build_ell_rows_multi,
-        choose_ell_degree,
-        choose_ell_degrees,
+        choose_degrees_for_config,
     )
 
-    if config.ell_degree:
-        degrees: "tuple[int, ...]" = (config.ell_degree,)
-    elif config.ell_tables <= 1:
-        degrees = (
-            choose_ell_degree(csr.row_lengths, hidden=config.hidden_hint),
-        )
-    else:
-        degrees = choose_ell_degrees(
-            csr.row_lengths, hidden=config.hidden_hint,
-            max_tables=config.ell_tables,
-        )
+    degrees = choose_degrees_for_config(csr.row_lengths, config)
     tables = build_ell_rows_multi(
         csr, degrees, hidden=config.hidden_hint,
         row_chunk_for=lambda D: _ell_chunk(config, D),
@@ -252,20 +241,11 @@ def plan_shared_ell_tables(parts, config, vfill: int):
     segment stream sorted and the extra adds harmless)."""
     from pygim_tpu.core.partition import (
         build_ell_rows_multi,
-        choose_ell_degree,
-        choose_ell_degrees,
+        choose_degrees_for_config,
     )
 
     all_len = np.concatenate([p.row_lengths for p in parts])
-    if config.ell_degree:
-        degrees: "tuple[int, ...]" = (config.ell_degree,)
-    elif config.ell_tables <= 1:
-        degrees = (choose_ell_degree(all_len, hidden=config.hidden_hint),)
-    else:
-        degrees = choose_ell_degrees(
-            all_len, hidden=config.hidden_hint,
-            max_tables=config.ell_tables,
-        )
+    degrees = choose_degrees_for_config(all_len, config)
     per_part = [
         build_ell_rows_multi(
             p, degrees, hidden=config.hidden_hint,

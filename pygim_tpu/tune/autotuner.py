@@ -137,8 +137,7 @@ def plan_statistics(
     if config.backend in ("ell", "hybrid"):
         from pygim_tpu.core.partition import (
             assign_ell_tables,
-            choose_ell_degree,
-            choose_ell_degrees,
+            choose_degrees_for_config,
         )
 
         if "deg" not in memo:
@@ -256,19 +255,15 @@ def plan_statistics(
                     / max(1, bcsr["tail_edges"]),
                 )
         # multi-degree ELL (round 4): rows split over per-degree tables
-        # exactly as the prepare does (choose_ell_degrees +
-        # assign_ell_tables share the measured cost constants), so the
-        # tuner's padded-slot and virtual-row counts match the built
-        # tables.
-        if config.ell_degree:
-            d_list: "tuple[int, ...]" = (config.ell_degree,)
-        elif config.ell_tables <= 1:
-            d_list = (choose_ell_degree(deg, hidden=hidden),)
-        else:
-            d_list = choose_ell_degrees(
-                deg, hidden=hidden, max_tables=config.ell_tables
-            )
-        pick = assign_ell_tables(deg, d_list, hidden=hidden)
+        # exactly as the prepare does — literally the same helper
+        # (choose_degrees_for_config reads config.hidden_hint like the
+        # prepare, NOT this call's pricing ``hidden``), so the tuner's
+        # padded-slot and virtual-row counts match the built tables even
+        # when the priced runtime width differs from the hint.
+        d_list = choose_degrees_for_config(deg, config)
+        pick = assign_ell_tables(
+            deg, d_list, hidden=config.hidden_hint
+        )
         n_vr_total = 0
         padded = 0
         for gi, d_g in enumerate(d_list):

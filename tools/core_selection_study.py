@@ -80,12 +80,14 @@ def main():
             f"swap pass {p}: captured {new_cap} ({new_cap/e:.4f})  "
             f"tail {e-new_cap}  moved {moved}  [{time.time()-t1:.0f}s]"
         )
-        if new_cap <= base and p > 1:
-            break
         if new_cap > base:
+            # adopt only improvements: iterating from a worse selection
+            # mixes baselines and can end the loop on a regression with
+            # the best selection discarded (round-4 review finding)
             base, rank, in_core = new_cap, new_rank, new_rank < k
         else:
-            rank, in_core = new_rank, new_rank < k
+            break
+    print(f"best       : captured {base} ({base/e:.4f})  tail {e-base}")
 
 
 if __name__ == "__main__":
