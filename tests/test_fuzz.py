@@ -79,3 +79,65 @@ def test_backend_matches_oracle(case):
     else:
         rtol = 3e-2 if loose else 1e-4
         np.testing.assert_allclose(out, ref, rtol=rtol, atol=10 * rtol)
+
+
+ZIPF_CASES = [
+    # (seed, n, about_nnz, vals_dtype, x_dtype, config_kwargs) — power-law
+    # degrees so the multi-degree split actually splits (round 4); every
+    # (ell_tables, backend, dtype) combination must agree with the oracle
+    (20, 300, 4000, "float32", "float32", dict(backend="ell", ell_tables=1)),
+    (21, 300, 4000, "float32", "float32", dict(backend="ell", ell_tables=2)),
+    (22, 300, 4000, "float32", "float32", dict(backend="ell", ell_tables=3)),
+    (23, 300, 5000, "float32", "float32",
+     dict(backend="hybrid", hybrid_k=32, ell_tables=3)),
+    (24, 300, 5000, "int32", "int32", dict(backend="ell", ell_tables=3)),
+    (25, 300, 5000, "int8", "int8",
+     dict(backend="hybrid", hybrid_k=32, hybrid_dtype="int8",
+          ell_tables=3)),
+    (26, 260, 4000, "float32", "float32",
+     dict(backend="hybrid", hybrid_k=16, bcsr_bytes=1 << 20, bcsr_tile=8,
+          bcsr_min_edges=2, ell_tables=3)),
+    (27, 300, 4000, "float32", "float32",
+     dict(backend="ell", ell_degree=8, ell_tables=3)),  # pin beats split
+]
+
+
+@pytest.mark.parametrize("case", ZIPF_CASES, ids=[f"z{c[0]}" for c in ZIPF_CASES])
+def test_zipf_multi_table_matches_oracle(case):
+    import jax.numpy as jnp
+
+    seed, n, about_nnz, vdt, xdt, kw = case
+    rng = np.random.default_rng(seed)
+    deg = np.minimum(rng.zipf(1.4, n), n // 2)
+    deg = (deg * (about_nnz / deg.sum())).astype(np.int64) + 1
+    rows = np.repeat(np.arange(n), deg).astype(np.int32)
+    cols = rng.integers(0, n, rows.size).astype(np.int32)
+    if kw.get("hybrid_dtype") in ("int8", "int4"):
+        vals = np.ones(rows.size, dtype=vdt)
+    elif np.issubdtype(np.dtype(vdt), np.integer):
+        vals = rng.integers(-3, 4, rows.size).astype(vdt)
+    else:
+        vals = rng.standard_normal(rows.size).astype(vdt)
+    coo = CooGraph.from_edges(rows, cols, vals, nrows=n, ncols=n)
+
+    h = 24
+    if np.issubdtype(np.dtype(xdt), np.integer):
+        x = rng.integers(-4, 5, (n, h)).astype(xdt)
+    else:
+        x = rng.standard_normal((n, h)).astype(xdt)
+
+    prep = prepare_spmm(coo, SpmmConfig(hidden_hint=h, **kw))
+    if kw.get("ell_degree"):
+        assert len(prep.ell_meta) == 1  # pinned degree collapses tables
+    out = np.asarray(prep.mul(jnp.asarray(x)))
+    ref = coo.to_dense().astype(np.float64) @ x.astype(np.float64)
+
+    loose = kw.get("hybrid_dtype") == "bfloat16" or (
+        kw.get("hybrid_dtype") in ("int8", "int4")
+        and not np.issubdtype(np.dtype(xdt), np.integer)
+    )
+    if np.issubdtype(np.dtype(xdt), np.integer) and not loose:
+        np.testing.assert_array_equal(out.astype(np.int64), ref)
+    else:
+        rtol = 3e-2 if loose else 1e-4
+        np.testing.assert_allclose(out, ref, rtol=rtol, atol=10 * rtol)
