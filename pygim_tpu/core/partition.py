@@ -240,6 +240,19 @@ def _ell_vrow_ns(hidden) -> float:
     return _ELL_VROW_FIXED_NS + h * _ELL_VROW_NS_PER_H
 
 
+def ell_issue_seconds(slots: int, n_virtual: int, hidden=None) -> float:
+    """Issue-bound ELL tail time under the measured model (the same
+    constants :func:`choose_ell_degree` optimizes against): every padded
+    slot costs one gather issue (G = 8.7 ns — the engine is issue-rate-
+    bound, NOT bandwidth-bound, for rows ≤ ~1 KB) and every virtual row
+    costs V(H) ≈ 52 + H/68 ns of merge overhead. The tuner's byte-
+    roofline under-priced exactly this (gather_bytes at 30% HBM = 2-4
+    ns/slot depending on dtype), which made it shrink the hub core in
+    favor of more tail — refuted on-chip three times (results/ tuner-
+    argmin A/Bs). predict_spmm_time now takes max(issue, byte-roofline)."""
+    return (slots * _ELL_SLOT_NS + n_virtual * _ell_vrow_ns(hidden)) * 1e-9
+
+
 def choose_ell_degree(
     row_lengths: np.ndarray,
     hidden: Optional[int] = None,

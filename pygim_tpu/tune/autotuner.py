@@ -278,7 +278,9 @@ def plan_statistics(
         scatter_bytes = int(
             2 * n_vr_total * h_local * dtype_bytes * ell_scale
         )
+        ell_vrows = int(n_vr_total * ell_scale)
     else:
+        ell_vrows = None
         padded_nnz = nb * plan_rb.nnz_pad
         # blocked/coo materialize the gathered contribution then
         # scatter-read it in the segment-sum (the measured amplification)
@@ -410,6 +412,18 @@ def plan_statistics(
         "bcsr_captured": 0 if bcsr is None else bcsr["captured_edges"],
         # dominant term: one dense row read per local nnz
         "gather_bytes": gather_bytes,
+        # issue-bound ELL tail counters (None for blocked/coo): per-device
+        # padded slots and virtual rows, plus the local width that sets
+        # V(H). predict_spmm_time prices the tail at
+        # max(core.partition.ell_issue_seconds, byte roofline) — the
+        # gather engine is issue-rate-bound (CLAUDE.md), so bytes alone
+        # under-price the tail 2-4× and the argmin drifts toward
+        # smaller cores (refuted on-chip, results/ tuner-argmin A/Bs)
+        "ell_slots": nnz_dev if ell_vrows is not None else None,
+        "ell_vrows": (
+            ell_vrows // max(1, sp) if ell_vrows is not None else None
+        ),
+        "ell_hidden": h_local,
         # colind + vals streams and the output write
         "stream_bytes": stream_bytes,
         # collective volume (replaces host memadd merge_rows) + which

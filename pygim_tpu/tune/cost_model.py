@@ -120,9 +120,33 @@ def predict_spmm_time(stats: dict, model: Optional[TpuCostModel] = None) -> floa
     structure deliberately parallels the reference's
     load+merge+compute+retrieve decomposition (autotuner.py:309-343)."""
     m = model or TpuCostModel.default()
-    t = stats["gather_bytes"] / (m.hbm_bw * m.gather_eff)
-    t += stats["stream_bytes"] / (m.hbm_bw * m.stream_eff)
-    t += stats.get("scatter_bytes", 0) / (m.hbm_bw * m.stream_eff)
+    tail_bw = (
+        stats["gather_bytes"] / (m.hbm_bw * m.gather_eff)
+        + stats["stream_bytes"] / (m.hbm_bw * m.stream_eff)
+        + stats.get("scatter_bytes", 0) / (m.hbm_bw * m.stream_eff)
+    )
+    if stats.get("ell_slots") is not None:
+        # ELL tail: the gather engine is ISSUE-rate-bound for rows up to
+        # ~1 KB (measured ~8.7 ns/slot regardless of dtype — CLAUDE.md),
+        # and each virtual row carries ~V(H) ns of merge overhead. The
+        # byte roofline alone under-prices the tail 2-4× (4.2 ns/slot
+        # f32@256, 2.1 ns bf16), which made three successive tuner
+        # argmins shrink the hub core in favor of more tail — all
+        # refuted on-chip (results/ tuner-argmin A/Bs; best shipped
+        # 12 GiB core 102.0 ms vs predicted-better 8 GiB+BCSR 105.1 ms).
+        # Wide-row plans (h_local·dtype ≳ 2 KB) flip back to bandwidth-
+        # bound, hence max() rather than replacement.
+        from pygim_tpu.core.partition import ell_issue_seconds
+
+        tail_bw = max(
+            tail_bw,
+            ell_issue_seconds(
+                stats["ell_slots"],
+                stats.get("ell_vrows") or 0,
+                stats.get("ell_hidden"),
+            ),
+        )
+    t = tail_bw
     # hybrid dense core: HBM stream and MXU issue overlap — the core
     # costs whichever roof binds (an int8 core at H=256 is compute-
     # bound: 512 flops but only 1 streamed byte per cell)

@@ -53,6 +53,36 @@ def test_plan_statistics_counters(rng):
     assert stats2["psum_bytes"] > 0 and stats["psum_bytes"] == 0
 
 
+def test_ell_tail_priced_issue_bound(rng):
+    """The ELL tail must be priced at the measured issue-rate floor
+    (~8.7 ns/slot + V(H)/vrow), not the byte roofline alone — the byte
+    model under-priced the tail 2-4x and steered three tuner argmins
+    into smaller cores, all refuted on-chip (results/ tuner-argmin
+    A/Bs)."""
+    from pygim_tpu.core.partition import ell_issue_seconds
+
+    coo = random_coo(rng, nrows=3000, ncols=3000, nnz=60000)
+    csr = coo.to_csr()
+    m = TpuCostModel.default()
+    stats = plan_statistics(csr, hidden=64, config=SpmmConfig(backend="ell"))
+    assert stats["ell_slots"] is not None and stats["ell_vrows"] > 0
+    floor = ell_issue_seconds(
+        stats["ell_slots"], stats["ell_vrows"], stats["ell_hidden"]
+    )
+    assert predict_spmm_time(stats, m) >= floor
+    # narrow bf16-width rows are issue-bound: halving the byte volume
+    # must NOT halve the predicted tail time
+    t_f32 = predict_spmm_time(stats, m)
+    stats_bf16 = plan_statistics(
+        csr, hidden=64, config=SpmmConfig(backend="ell"), dtype_bytes=2
+    )
+    t_bf16 = predict_spmm_time(stats_bf16, m)
+    assert t_bf16 > 0.6 * t_f32
+    # blocked backend carries no issue counters (byte-roofline only)
+    s_blk = plan_statistics(csr, hidden=64, config=SpmmConfig(n_blocks=8))
+    assert s_blk["ell_slots"] is None
+
+
 def test_cost_model_monotonic(rng):
     coo = random_coo(rng, nrows=2000, ncols=2000, nnz=20000)
     csr = coo.to_csr()
