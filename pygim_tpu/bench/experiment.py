@@ -79,6 +79,15 @@ class Experiment:
                                        # materializes (nnz, H) — turn
                                        # off beyond ~10M edges (measured
                                        # 117 GB OOM at reddit scale)
+    part_size: int = 0                 # >0: run on ONE cluster partition
+                                       # of ~part_size nodes — the
+                                       # reference's AmazonProducts path
+                                       # (ClusterData ~500k-node parts,
+                                       # partition[1] only,
+                                       # inference.py:64-73)
+    part_idx: int = 1                  # which partition (reference: 1)
+    part_method: str = "none"          # none|rcm|lp|metis (data/datasets
+                                       # .py cluster_partition)
     repeat: int = 3
     tune: bool = False
 
@@ -173,6 +182,15 @@ class Experiment:
         try:
             kw = {} if data_root is None else {"root": data_root}
             ds = load_dataset(self.dataset, **kw)
+            if self.part_size > 0:
+                from pygim_tpu.data import cluster_partition
+
+                ds = cluster_partition(
+                    ds, part_size=self.part_size,
+                    part_idx=self.part_idx, method=self.part_method,
+                )
+                rep.report("part_nodes", ds.num_nodes)
+                rep.report("part_edges", ds.graph.nnz)
             cfg = self.spmm_config()
             if self.tune:
                 from pygim_tpu.tune import autotune

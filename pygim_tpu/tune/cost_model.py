@@ -64,7 +64,11 @@ class TpuCostModel:
     # "+ici:<platform>x<n>" when per-collective constants were measured.
     # A cpu platform tag means a VIRTUAL mesh calibrated the exchange
     # pricing — useful for relative choices, not absolute times.
-    provenance: str = "datasheet"
+    # "+ell-issue:v5e" marks the ELL-tail issue-rate floor (8.7 ns/slot
+    # + V(H)/virtual-row, core/partition.py) — those constants were
+    # measured on the real chip and apply to every prediction that
+    # carries an ELL tail, whatever the byte-roofline provenance.
+    provenance: str = "datasheet+ell-issue:v5e"
 
     @classmethod
     def default(cls) -> "TpuCostModel":
@@ -73,7 +77,7 @@ class TpuCostModel:
                 d = json.loads(_CACHE.read_text())
                 # pre-provenance cache files were written by
                 # measure_constants — they ARE measured
-                d.setdefault("provenance", "measured:cached")
+                d.setdefault("provenance", "measured:cached+ell-issue:v5e")
                 return cls(**d)
             except Exception:
                 pass
@@ -385,7 +389,7 @@ def measure_constants(
         gather_eff=min(1.0, gather_bw / hbm),
         stream_eff=min(1.0, stream_bw / hbm),
         fixed_us=_DEFAULTS["fixed_us"],
-        provenance=f"measured:{jax.devices()[0].platform}",
+        provenance=f"measured:{jax.devices()[0].platform}+ell-issue:v5e",
     )
     if save:
         _CACHE.parent.mkdir(parents=True, exist_ok=True)

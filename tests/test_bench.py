@@ -71,6 +71,25 @@ def test_experiment_failure_ledger(tmp_path):
     assert out == {}
 
 
+def test_experiment_cluster_part(tmp_path):
+    """part_size > 0 runs on ONE cluster partition — the reference's
+    AmazonProducts path (ClusterData ~500k-node parts, only
+    partition[1] used, reference inference.py:64-73)."""
+    results = tmp_path / "results"
+    exp = Experiment(
+        dataset="tiny", kind="inference", hidden=16, repeat=1,
+        part_size=400, part_idx=1,
+    )
+    means = run_experiments(
+        [exp], results, data_root=str(tmp_path / "data")
+    )[exp.frozen_name()]
+    assert 0 < means["part_nodes"] <= 400
+    assert means["part_edges"] > 0
+    assert "infer_time(ms)" in means
+    # the partition axes are frozen-name-identifying
+    assert "part_size-400" in exp.frozen_name()
+
+
 def test_dry_run(tmp_path):
     exps = [Experiment(dataset="tiny", repeat=1)]
     out = run_experiments(exps, tmp_path / "r", dry_run=True)
