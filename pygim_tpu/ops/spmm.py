@@ -322,13 +322,22 @@ def _group_inner(n_steps: int, bytes_per_step: int) -> int:
 
 
 def _ell_grouped_scan(x, cols2d, vals2d, vrow_to_row, chunk, degree,
-                      nrows, out, part_fn):
+                      nrows, out, part_fn, core3d=None, core_fn=None):
     """Shared grouped ELL driver. ``part_fn(gathered, vals) -> (chunk, H)``
     partial sums in the accumulation dtype. Groups are static slices of
     the step stream (unrolled outer loop — no (nrows, H) scan carry);
     each group runs an inner ``lax.scan`` stacking ≤ ELL_PARTIAL_BYTES of
     partials, then one sorted scatter-add (the virtual-row stream is
-    globally non-decreasing, so every slice is sorted too)."""
+    globally non-decreasing, so every slice is sorted too).
+
+    ``core3d``/``core_fn``: optional hub-core interleaving. ``core3d``
+    is an (n_steps, slab, kc) view of (a share of) the dense core; each
+    scan step additionally computes ``core_fn(slab) -> (slab, H)``, so
+    the MXU-bound core product and the issue-bound gather ride the SAME
+    scan — measured 1.29× concurrency on v5e (tools/overlap_probe.py:
+    17.61 ms interleaved vs 22.70 ms sequential; separate top-level ops
+    only reach 1.10×). Returns ``(out, core_parts)`` with ``core_parts``
+    of shape (n_steps·slab, H) when interleaving, else just ``out``."""
     h = x.shape[1]
     n_steps = cols2d.shape[0]
     if n_steps == 0 or x.shape[0] == 0:
@@ -337,19 +346,32 @@ def _ell_grouped_scan(x, cols2d, vals2d, vrow_to_row, chunk, degree,
         # (and x[0, 0]-style probes read out of bounds) — return exact
         # zeros in the accumulation dtype, which part_fn.acc already
         # derives from x's dtype in both callers.
-        return jnp.zeros((nrows, h), part_fn.acc) if out is None else out
+        out = jnp.zeros((nrows, h), part_fn.acc) if out is None else out
+        if core3d is not None:
+            return out, jnp.zeros((0, h), part_fn.acc)
+        return out
     inner = _group_inner(n_steps, chunk * h * 4)
 
     def body(_, blk):
-        c, v = blk
+        if core3d is None:
+            c, v = blk
+        else:
+            c, v, cs = blk
         g = jnp.take(x, c, axis=0).reshape(chunk, degree, h)
-        return None, part_fn(g, v)
+        if core3d is None:
+            return None, part_fn(g, v)
+        return None, (part_fn(g, v), core_fn(cs))
 
+    core_parts = []
     for lo in range(0, n_steps, inner):
         hi = min(lo + inner, n_steps)
-        _, parts = jax.lax.scan(
-            body, None, (cols2d[lo:hi], vals2d[lo:hi])
-        )
+        xs = (cols2d[lo:hi], vals2d[lo:hi])
+        if core3d is not None:
+            xs = xs + (core3d[lo:hi],)
+        _, parts = jax.lax.scan(body, None, xs)
+        if core3d is not None:
+            parts, cp = parts
+            core_parts.append(cp.reshape((hi - lo) * core3d.shape[1], h))
         seg = parts.reshape((hi - lo) * chunk, h)
         rows = vrow_to_row[lo:hi].reshape((hi - lo) * chunk)
         if out is None:
@@ -360,6 +382,12 @@ def _ell_grouped_scan(x, cols2d, vals2d, vrow_to_row, chunk, degree,
             out = out.at[rows].add(
                 seg.astype(out.dtype), indices_are_sorted=True
             )
+    if core3d is not None:
+        return out, (
+            core_parts[0]
+            if len(core_parts) == 1
+            else jnp.concatenate(core_parts)
+        )
     return out
 
 
@@ -393,7 +421,7 @@ def ell_scan_spmm_quant(
 
 
 def ell_scan_spmm(x, cols2d, vals2d, vrow_to_row, chunk, degree, nrows,
-                  out=None):
+                  out=None, core3d=None, core_fn=None):
     """The ell backend's compute body (shared with the hybrid tail):
     fixed-degree gather + fused weighted reduce under ``lax.scan``,
     accumulated in memory-bounded groups (_ell_grouped_scan): each group
@@ -410,7 +438,8 @@ def ell_scan_spmm(x, cols2d, vals2d, vrow_to_row, chunk, degree, nrows,
 
     part_fn.acc = acc
     return _ell_grouped_scan(
-        x, cols2d, vals2d, vrow_to_row, chunk, degree, nrows, out, part_fn
+        x, cols2d, vals2d, vrow_to_row, chunk, degree, nrows, out, part_fn,
+        core3d=core3d, core_fn=core_fn,
     )
 
 
@@ -838,14 +867,58 @@ class PreparedSpmm:
             self._dev[f"vrow_to_row{sfx}"] = jnp.asarray(r3)
             self.ell_meta.append((chunk, int(host[f"degree{sfx}"])))
         self.row_chunk, self.ell_degree = self.ell_meta[0]
+        self.interleave = None
         if self.hybrid_k_eff > 0:
             core = host["core"]
             if str(host["core_dtype"]) == "bfloat16":
                 import ml_dtypes
 
                 core = core.view(ml_dtypes.bfloat16)
+            core = self._plan_interleave(core)
             self._dev["core"] = jnp.asarray(core)
             self._dev["core_nodes"] = jnp.asarray(host["core_nodes"])
+        self._install_hybrid_bcsr(host)
+
+    def _plan_interleave(self, core):
+        """Core↔tail interleave plan (PYGIM_HYBRID_INTERLEAVE=1): split
+        the dense core into one row slab per ELL-tail scan step so the
+        MXU-bound core product rides the tail's ``lax.scan`` — measured
+        1.29× gather/MXU concurrency on v5e (tools/overlap_probe.py;
+        separate top-level ops only overlap 1.10×). The run-path split
+        (_make_run) needs ``sum(slab_i · n_steps_i) >= k``; the few
+        overshoot rows (< n_steps rows, ~MBs) are zero-padded HERE, on
+        the host, before upload — padding the multi-GiB core on device
+        would transiently double its HBM footprint. Returns the (maybe
+        padded) core and records ``self.interleave = (slabs, steps, k)``.
+
+        The tail tables are coarse-stepped by construction (~26 steps on
+        reddit-sim at the shipped config), so slabs land at MXU-friendly
+        thousands of rows; cores smaller than 8 rows/step skip."""
+        if os.environ.get("PYGIM_HYBRID_INTERLEAVE", "0") != "1":
+            return core
+        steps = [
+            int(self._dev[f"cols2d{_ell_suffix(i)}"].shape[0])
+            for i in range(len(self.ell_meta))
+        ]
+        total = sum(steps)
+        k = int(core.shape[0])
+        slab = k // max(1, total)
+        if total == 0 or slab < 8:
+            return core
+        slabs = [slab] * len(steps)
+        deficit = k - slab * total
+        if deficit:
+            j = int(np.argmax(steps))
+            slabs[j] += -(-deficit // steps[j])
+        k_pad = sum(s * n for s, n in zip(slabs, steps))
+        if k_pad > k:
+            core = np.concatenate(
+                [core, np.zeros((k_pad - k,) + core.shape[1:], core.dtype)]
+            )
+        self.interleave = (slabs, steps, k)
+        return core
+
+    def _install_hybrid_bcsr(self, host):
         self.has_bcsr = "bcsr_tiles" in host
         if self.has_bcsr:
             tiles = host["bcsr_tiles"]
@@ -1241,6 +1314,10 @@ class PreparedSpmm:
                     ).astype(qdt)
                 )
                 core_out = _core_matmul(core, xc, acc)
+                if getattr(self, "interleave", None) is not None:
+                    # interleave pads core ROWS (slab coverage); the
+                    # fused path runs the plain dot — drop pad rows
+                    core_out = core_out[: self.interleave[2]]
                 out = out.at[core_nodes].add(core_out.astype(out.dtype))
             if getattr(self, "has_bcsr", False):
                 # wide integer payloads (int16/int32: |q| up to 2^19)
@@ -1431,14 +1508,47 @@ def _make_run(backend: str, prep: PreparedSpmm):
         meta = list(prep.ell_meta)
         has_core = prep.hybrid_k_eff > 0
         has_bcsr = getattr(prep, "has_bcsr", False)
+        inter = getattr(prep, "interleave", None)
         if has_bcsr:
             b_step, b_n_rb = prep.bcsr_step, prep.bcsr_n_rb
             b_panel = prep.bcsr_kind == "panel"
 
         def run(x, **dev):
             acc = accum_dtype(jnp.result_type(jnp.float32, x.dtype))
-            out = _ell_tail_all(x, dev, meta, nrows)
-            if has_core:
+            if has_core and inter is not None:
+                # interleaved: each ELL table's scan also chews this
+                # table's share of core row slabs (measured 1.29×
+                # gather/MXU concurrency — _ell_grouped_scan docstring)
+                slabs, steps, k = inter
+                core, core_nodes = dev["core"], dev["core_nodes"]
+                xc = jnp.take(x, core_nodes, axis=0)
+                core_fn = lambda cs: _core_matmul(cs, xc, acc)  # noqa: E731
+                out, cparts, off = None, [], 0
+                for i, (chunk, degree) in enumerate(meta):
+                    sfx = _ell_suffix(i)
+                    args = (
+                        dev[f"cols2d{sfx}"], dev[f"vals2d{sfx}"],
+                        dev[f"vrow_to_row{sfx}"], chunk, degree, nrows,
+                    )
+                    share = slabs[i] * steps[i]
+                    if share == 0:
+                        out = ell_scan_spmm(x, *args, out=out)
+                        continue
+                    c3 = core[off:off + share].reshape(
+                        steps[i], slabs[i], core.shape[1]
+                    )
+                    off += share
+                    out, cp = ell_scan_spmm(
+                        x, *args, out=out, core3d=c3, core_fn=core_fn
+                    )
+                    cparts.append(cp)
+                core_out = (
+                    cparts[0] if len(cparts) == 1 else jnp.concatenate(cparts)
+                )[:k]
+                out = out.at[core_nodes].add(core_out.astype(out.dtype))
+            else:
+                out = _ell_tail_all(x, dev, meta, nrows)
+            if has_core and inter is None:
                 core_nodes = dev["core_nodes"]
                 core_out = _core_matmul(
                     dev["core"], jnp.take(x, core_nodes, axis=0), acc
