@@ -223,6 +223,40 @@ def _ell_tail_all(x, dev: dict, meta, nrows: int, out=None, part_of=None):
     return out
 
 
+def _ell_tail_core_interleaved(x, dev, meta, nrows, inter, core_fn):
+    """Hybrid tail + core with the core row slabs interleaved into each
+    table's scan (see :func:`_ell_grouped_scan`). ``inter`` is the
+    prepare-time ``(slabs, steps, k)`` plan; ``core_fn(slab) ->
+    (slab_rows, H)`` computes one slab's product against the (already
+    gathered/quantized) core payload. Returns ``(out, core_out)`` with
+    ``core_out`` trimmed back to the plan's k rows (pad rows dropped)."""
+    slabs, steps, k = inter
+    core = dev["core"]
+    out, cparts, off = None, [], 0
+    for i, (chunk, degree) in enumerate(meta):
+        sfx = _ell_suffix(i)
+        args = (
+            dev[f"cols2d{sfx}"], dev[f"vals2d{sfx}"],
+            dev[f"vrow_to_row{sfx}"], chunk, degree, nrows,
+        )
+        share = slabs[i] * steps[i]
+        if share == 0:
+            out = ell_scan_spmm(x, *args, out=out)
+            continue
+        c3 = core[off:off + share].reshape(
+            steps[i], slabs[i], core.shape[1]
+        )
+        off += share
+        out, cp = ell_scan_spmm(
+            x, *args, out=out, core3d=c3, core_fn=core_fn
+        )
+        cparts.append(cp)
+    core_out = (
+        cparts[0] if len(cparts) == 1 else jnp.concatenate(cparts)
+    )[:k]
+    return out, core_out
+
+
 def plan_shared_ell_tables(parts, config, vfill: int):
     """Multi-degree ELL tables with ONE static shape across SPMD shards.
 
@@ -1290,9 +1324,27 @@ class PreparedSpmm:
             q_dtype is not None
             and jnp.dtype(qdt).itemsize < jnp.dtype(x.dtype).itemsize
         )
+        inter = getattr(self, "interleave", None)
+        core_done = False
         if use_table:
             xq = jnp.round(x / safe).astype(qdt)
-            out = _ell_tail_all(xq, dev, self.ell_meta, self.nrows)
+            if inter is not None and self.hybrid_k_eff > 0:
+                # interleave the core into the tail scans here too —
+                # same measured-concurrency basis as the float path;
+                # int8 payloads ride the MXU's s8 path per slab
+                acc_i = accum_dtype(
+                    jnp.result_type(jnp.float32, jnp.dtype(qdt))
+                )
+                core_nodes = dev["core_nodes"]
+                xc = jnp.take(xq, core_nodes, axis=0)
+                out, core_out = _ell_tail_core_interleaved(
+                    xq, dev, self.ell_meta, self.nrows, inter,
+                    lambda cs: _core_matmul(cs, xc, acc_i),
+                )
+                out = out.at[core_nodes].add(core_out.astype(out.dtype))
+                core_done = True
+            else:
+                out = _ell_tail_all(xq, dev, self.ell_meta, self.nrows)
         else:
             def _quant_table(x_, c, v, r, chunk, degree, nrows, out=None):
                 return ell_scan_spmm_quant(
@@ -1304,7 +1356,7 @@ class PreparedSpmm:
             )
         if self.config.backend == "hybrid":
             acc = accum_dtype(jnp.result_type(jnp.float32, jnp.dtype(qdt)))
-            if self.hybrid_k_eff > 0:
+            if self.hybrid_k_eff > 0 and not core_done:
                 core, core_nodes = dev["core"], dev["core_nodes"]
                 xc = (
                     jnp.take(xq, core_nodes, axis=0)
@@ -1314,10 +1366,10 @@ class PreparedSpmm:
                     ).astype(qdt)
                 )
                 core_out = _core_matmul(core, xc, acc)
-                if getattr(self, "interleave", None) is not None:
-                    # interleave pads core ROWS (slab coverage); the
-                    # fused path runs the plain dot — drop pad rows
-                    core_out = core_out[: self.interleave[2]]
+                if inter is not None:
+                    # interleave pads core ROWS (slab coverage); this
+                    # plain dot keeps the pad — drop those rows
+                    core_out = core_out[: inter[2]]
                 out = out.at[core_nodes].add(core_out.astype(out.dtype))
             if getattr(self, "has_bcsr", False):
                 # wide integer payloads (int16/int32: |q| up to 2^19)
@@ -1519,32 +1571,12 @@ def _make_run(backend: str, prep: PreparedSpmm):
                 # interleaved: each ELL table's scan also chews this
                 # table's share of core row slabs (measured 1.29×
                 # gather/MXU concurrency — _ell_grouped_scan docstring)
-                slabs, steps, k = inter
-                core, core_nodes = dev["core"], dev["core_nodes"]
+                core_nodes = dev["core_nodes"]
                 xc = jnp.take(x, core_nodes, axis=0)
-                core_fn = lambda cs: _core_matmul(cs, xc, acc)  # noqa: E731
-                out, cparts, off = None, [], 0
-                for i, (chunk, degree) in enumerate(meta):
-                    sfx = _ell_suffix(i)
-                    args = (
-                        dev[f"cols2d{sfx}"], dev[f"vals2d{sfx}"],
-                        dev[f"vrow_to_row{sfx}"], chunk, degree, nrows,
-                    )
-                    share = slabs[i] * steps[i]
-                    if share == 0:
-                        out = ell_scan_spmm(x, *args, out=out)
-                        continue
-                    c3 = core[off:off + share].reshape(
-                        steps[i], slabs[i], core.shape[1]
-                    )
-                    off += share
-                    out, cp = ell_scan_spmm(
-                        x, *args, out=out, core3d=c3, core_fn=core_fn
-                    )
-                    cparts.append(cp)
-                core_out = (
-                    cparts[0] if len(cparts) == 1 else jnp.concatenate(cparts)
-                )[:k]
+                out, core_out = _ell_tail_core_interleaved(
+                    x, dev, meta, nrows, inter,
+                    lambda cs: _core_matmul(cs, xc, acc),
+                )
                 out = out.at[core_nodes].add(core_out.astype(out.dtype))
             else:
                 out = _ell_tail_all(x, dev, meta, nrows)
