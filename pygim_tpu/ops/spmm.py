@@ -243,12 +243,14 @@ def _ell_tail_core_interleaved(x, dev, meta, nrows, inter, core_fn):
         if share == 0:
             out = ell_scan_spmm(x, *args, out=out)
             continue
-        c3 = core[off:off + share].reshape(
-            steps[i], slabs[i], core.shape[1]
-        )
+        # host-side start offsets: per-step dynamic_slice from the ONE
+        # core buffer (static per-table slices OOM'd — see
+        # _ell_grouped_scan)
+        starts = off + np.arange(steps[i], dtype=np.int32) * slabs[i]
         off += share
         out, cp = ell_scan_spmm(
-            x, *args, out=out, core3d=c3, core_fn=core_fn
+            x, *args, out=out, core=core, core_starts=starts,
+            core_slab=slabs[i], core_fn=core_fn,
         )
         cparts.append(cp)
     core_out = (
@@ -356,7 +358,8 @@ def _group_inner(n_steps: int, bytes_per_step: int) -> int:
 
 
 def _ell_grouped_scan(x, cols2d, vals2d, vrow_to_row, chunk, degree,
-                      nrows, out, part_fn, core3d=None, core_fn=None):
+                      nrows, out, part_fn, core=None, core_starts=None,
+                      core_slab=0, core_fn=None):
     """Shared grouped ELL driver. ``part_fn(gathered, vals) -> (chunk, H)``
     partial sums in the accumulation dtype. Groups are static slices of
     the step stream (unrolled outer loop — no (nrows, H) scan carry);
@@ -364,14 +367,20 @@ def _ell_grouped_scan(x, cols2d, vals2d, vrow_to_row, chunk, degree,
     partials, then one sorted scatter-add (the virtual-row stream is
     globally non-decreasing, so every slice is sorted too).
 
-    ``core3d``/``core_fn``: optional hub-core interleaving. ``core3d``
-    is an (n_steps, slab, kc) view of (a share of) the dense core; each
-    scan step additionally computes ``core_fn(slab) -> (slab, H)``, so
-    the MXU-bound core product and the issue-bound gather ride the SAME
-    scan — measured 1.29× concurrency on v5e (tools/overlap_probe.py:
-    17.61 ms interleaved vs 22.70 ms sequential; separate top-level ops
-    only reach 1.10×). Returns ``(out, core_parts)`` with ``core_parts``
-    of shape (n_steps·slab, H) when interleaving, else just ``out``."""
+    ``core``/``core_starts``/``core_slab``/``core_fn``: optional
+    hub-core interleaving. Each scan step additionally computes
+    ``core_fn(dynamic_slice(core, starts[step], core_slab rows)) ->
+    (core_slab, H)``, so the MXU-bound core product and the issue-bound
+    gather ride the SAME scan — measured 1.29× concurrency on v5e
+    (tools/overlap_probe.py: 17.61 ms interleaved vs 22.70 ms
+    sequential; separate top-level ops only reach 1.10×). The slab is
+    cut per step with ``dynamic_slice`` from the ONE core buffer — a
+    static per-table slice+reshape materialized multi-GiB HLO temps and
+    OOM'd the 12 GiB core on chip (measured, round 4); the per-step
+    temp is bounded at slab·kc bytes, the same trick as
+    :func:`_wide_int_core_dot`. Returns ``(out, core_parts)`` with
+    ``core_parts`` of shape (n_steps·core_slab, H) when interleaving,
+    else just ``out``."""
     h = x.shape[1]
     n_steps = cols2d.shape[0]
     if n_steps == 0 or x.shape[0] == 0:
@@ -381,31 +390,34 @@ def _ell_grouped_scan(x, cols2d, vals2d, vrow_to_row, chunk, degree,
         # zeros in the accumulation dtype, which part_fn.acc already
         # derives from x's dtype in both callers.
         out = jnp.zeros((nrows, h), part_fn.acc) if out is None else out
-        if core3d is not None:
+        if core is not None:
             return out, jnp.zeros((0, h), part_fn.acc)
         return out
     inner = _group_inner(n_steps, chunk * h * 4)
 
     def body(_, blk):
-        if core3d is None:
+        if core is None:
             c, v = blk
         else:
-            c, v, cs = blk
+            c, v, st = blk
         g = jnp.take(x, c, axis=0).reshape(chunk, degree, h)
-        if core3d is None:
+        if core is None:
             return None, part_fn(g, v)
+        cs = jax.lax.dynamic_slice(
+            core, (st, jnp.int32(0)), (core_slab, core.shape[1])
+        )
         return None, (part_fn(g, v), core_fn(cs))
 
     core_parts = []
     for lo in range(0, n_steps, inner):
         hi = min(lo + inner, n_steps)
         xs = (cols2d[lo:hi], vals2d[lo:hi])
-        if core3d is not None:
-            xs = xs + (core3d[lo:hi],)
+        if core is not None:
+            xs = xs + (jnp.asarray(core_starts[lo:hi], jnp.int32),)
         _, parts = jax.lax.scan(body, None, xs)
-        if core3d is not None:
+        if core is not None:
             parts, cp = parts
-            core_parts.append(cp.reshape((hi - lo) * core3d.shape[1], h))
+            core_parts.append(cp.reshape((hi - lo) * core_slab, h))
         seg = parts.reshape((hi - lo) * chunk, h)
         rows = vrow_to_row[lo:hi].reshape((hi - lo) * chunk)
         if out is None:
@@ -416,7 +428,7 @@ def _ell_grouped_scan(x, cols2d, vals2d, vrow_to_row, chunk, degree,
             out = out.at[rows].add(
                 seg.astype(out.dtype), indices_are_sorted=True
             )
-    if core3d is not None:
+    if core is not None:
         return out, (
             core_parts[0]
             if len(core_parts) == 1
@@ -455,7 +467,8 @@ def ell_scan_spmm_quant(
 
 
 def ell_scan_spmm(x, cols2d, vals2d, vrow_to_row, chunk, degree, nrows,
-                  out=None, core3d=None, core_fn=None):
+                  out=None, core=None, core_starts=None, core_slab=0,
+                  core_fn=None):
     """The ell backend's compute body (shared with the hybrid tail):
     fixed-degree gather + fused weighted reduce under ``lax.scan``,
     accumulated in memory-bounded groups (_ell_grouped_scan): each group
@@ -473,7 +486,8 @@ def ell_scan_spmm(x, cols2d, vals2d, vrow_to_row, chunk, degree, nrows,
     part_fn.acc = acc
     return _ell_grouped_scan(
         x, cols2d, vals2d, vrow_to_row, chunk, degree, nrows, out, part_fn,
-        core3d=core3d, core_fn=core_fn,
+        core=core, core_starts=core_starts, core_slab=core_slab,
+        core_fn=core_fn,
     )
 
 
