@@ -137,6 +137,7 @@ def main():
     # we have beats a driver-side timeout with no line at all.
     deadline = t_start + float(os.environ.get("PYGIM_BENCH_DEADLINE_S", 1500))
     dt = None
+    nnz_unique = graph.nnz
     measured = 0
     for i, (core_dtype, budget) in enumerate(attempts):
         if dt is not None and time.time() > deadline:
@@ -161,6 +162,8 @@ def main():
             measured += 1
             if dt is None or dt_i < dt:
                 dt = dt_i
+                # post-merge edge count for the unique-edge accounting
+                nnz_unique = int(getattr(prep, "nnz", graph.nnz))
             del prep  # free HBM before the next candidate
             if measured >= measure_top:
                 break
@@ -175,9 +178,16 @@ def main():
 
     model_bytes = spmm_model_bytes(graph.nnz, graph.nrows, hidden, 4)
     gbps = model_bytes / dt / 1e9
+    # dual accounting: duplicates merged at prepare (multigraph stand-ins)
+    # do less device work; the unique-edge-credited number carries the
+    # conservative reading in the same line (VERDICT r4 item 7)
+    gbps_unique = (
+        spmm_model_bytes(nnz_unique, graph.nrows, hidden, 4) / dt / 1e9
+    )
     target = TARGET_FRACTION * HBM_PEAK_GBPS
     log(
-        f"effective {gbps:.1f} GB/s; target {target:.0f} GB/s "
+        f"effective {gbps:.1f} GB/s (unique-edge credit {gbps_unique:.1f}); "
+        f"target {target:.0f} GB/s "
         f"({TARGET_FRACTION*100:.0f}% of {HBM_PEAK_GBPS:.0f})"
     )
 
@@ -188,6 +198,7 @@ def main():
                 "value": round(gbps, 2),
                 "unit": "GB/s",
                 "vs_baseline": round(gbps / target, 4),
+                "spmm_effective_GBps_unique": round(gbps_unique, 2),
             }
         ),
         flush=True,

@@ -76,9 +76,15 @@ class Experiment:
     parity: bool = True                # training kind: retrain on the
                                        # oracle aggregate and compare.
                                        # The raw-edge oracle backward
-                                       # materializes (nnz, H) — turn
-                                       # off beyond ~10M edges (measured
-                                       # 117 GB OOM at reddit scale)
+                                       # materializes (nnz, H) — beyond
+                                       # ~10M edges (measured 117 GB OOM
+                                       # at reddit scale) set
+                                       # oracle_chunk instead
+    oracle_chunk: int = 0              # training kind: >0 streams the
+                                       # parity oracle in edge chunks
+                                       # (memory-bounded forward AND
+                                       # backward — reference.py
+                                       # spmm_coo_oracle_chunked)
     part_size: int = 0                 # >0: run on ONE cluster partition
                                        # of ~part_size nodes — the
                                        # reference's AmazonProducts path
@@ -246,6 +252,7 @@ class Experiment:
                     hidden=self.hidden, config=cfg, epochs=self.epochs,
                     lr=self.lr, reporter=rep, mesh=mesh,
                     parity=self.parity,
+                    oracle_chunk=self.oracle_chunk or None,
                 )
             else:
                 raise ValueError(f"unknown kind {self.kind!r}")

@@ -103,6 +103,17 @@ def run_spmm_benchmark(
     )
     rep.report("spmm_effective_GBps", model_bytes / dt / 1e9)
     rep.report("edges_per_s", graph.nnz / dt)
+    # dual accounting (VERDICT r4): the headline credits the RAW stored
+    # edge stream (multigraphs: duplicates merged at prepare do less
+    # work); report the unique-edge-credited number beside it so neither
+    # needs a footnote. Equal on simple graphs.
+    nnz_unique = int(getattr(prep, "nnz", graph.nnz))
+    rep.report(
+        "spmm_effective_GBps_unique",
+        spmm_model_bytes(
+            nnz_unique, graph.nrows, hidden, jnp.dtype(dtype).itemsize
+        ) / dt / 1e9,
+    )
 
     if verify:
         cfg = getattr(prep, "config", None)
@@ -263,6 +274,7 @@ def run_training_benchmark(
     prepare_fn=None,
     parity: bool = True,
     acc_tol: float = 0.01,
+    oracle_chunk: Optional[int] = None,
 ) -> dict:
     """Trained-accuracy parity (beyond the reference, which only reports
     untrained accuracy — inference.py:27-41): train the SAME initialization
@@ -335,7 +347,14 @@ def run_training_benchmark(
     rep.report("test_acc", acc)
 
     if parity:
-        oracle = prepare_spmm(graph, SpmmConfig(backend="oracle"))
+        # oracle_chunk: memory-bounded oracle (spmm_coo_oracle_chunked)
+        # — the raw oracle's backward materializes ~2×(nnz, H), OOMing
+        # beyond ~10M edges; chunking lets the parity arm run at
+        # flagship scale (VERDICT r4 item 4)
+        oracle = prepare_spmm(
+            graph,
+            SpmmConfig(backend="oracle", oracle_edge_chunk=oracle_chunk),
+        )
         params_o, loss_o = train(oracle)
         rep.report("oracle_train_loss", loss_o)
         logits_o = np.asarray(

@@ -61,6 +61,8 @@ class GraphDataset:
     synthetic: bool
     metric: str = "acc"      # acc | rocauc | f1 (reference: OGB Evaluator /
                              # sklearn F1, inference.py:27-41)
+    val_mask: "np.ndarray | None" = None  # held-out split (early stopping);
+                             # real loaders populate it, stand-ins may not
 
     @property
     def num_nodes(self) -> int:

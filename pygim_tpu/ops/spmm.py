@@ -48,7 +48,11 @@ from pygim_tpu.core.partition import (
     round_up,
     row_slot_table,
 )
-from pygim_tpu.ops.reference import accum_dtype, spmm_coo_oracle
+from pygim_tpu.ops.reference import (
+    accum_dtype,
+    spmm_coo_oracle,
+    spmm_coo_oracle_chunked,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -108,6 +112,12 @@ class SpmmConfig:
     # reddit-sim stores 114.6M edges over 78.8M unique pairs (1.45x),
     # and int-core demotions drop from per-duplicate-edge to per-cell.
     merge_duplicates: bool = True
+    # oracle backend: stream edges through a lax.scan in chunks of this
+    # many edges instead of one (nnz, H) gather+segment_sum. Same math;
+    # bounds forward AND autodiff-transpose memory, so the oracle ARM of
+    # trained-parity fits at flagship scale (reference.py
+    # spmm_coo_oracle_chunked). None = the plain one-shot oracle.
+    oracle_edge_chunk: Optional[int] = None
 
     def resolve_n_blocks(self, nnz: int) -> int:
         if self.n_blocks is not None:
@@ -226,31 +236,28 @@ def _ell_tail_all(x, dev: dict, meta, nrows: int, out=None, part_of=None):
 def _ell_tail_core_interleaved(x, dev, meta, nrows, inter, core_fn):
     """Hybrid tail + core with the core row slabs interleaved into each
     table's scan (see :func:`_ell_grouped_scan`). ``inter`` is the
-    prepare-time ``(slabs, steps, k)`` plan; ``core_fn(slab) ->
-    (slab_rows, H)`` computes one slab's product against the (already
-    gathered/quantized) core payload. Returns ``(out, core_out)`` with
-    ``core_out`` trimmed back to the plan's k rows (pad rows dropped)."""
+    prepare-time ``(slabs, steps, k)`` plan; table *i*'s share of core
+    rows is device-resident as ``dev["core3d{sfx}"]`` of shape
+    (steps_i, slab_i, cols) and streams through the scan as xs
+    (PreparedSpmm._install_core has the measured history of why).
+    ``core_fn(slab) -> (slab_rows, H)`` computes one slab's product
+    against the (already gathered/quantized) core payload. Returns
+    ``(out, core_out)`` with ``core_out`` trimmed back to the plan's
+    k rows (pad rows dropped)."""
     slabs, steps, k = inter
-    core = dev["core"]
-    out, cparts, off = None, [], 0
+    out, cparts = None, []
     for i, (chunk, degree) in enumerate(meta):
         sfx = _ell_suffix(i)
         args = (
             dev[f"cols2d{sfx}"], dev[f"vals2d{sfx}"],
             dev[f"vrow_to_row{sfx}"], chunk, degree, nrows,
         )
-        share = slabs[i] * steps[i]
-        if share == 0:
+        core3d = dev.get(f"core3d{sfx}")
+        if core3d is None or slabs[i] * steps[i] == 0:
             out = ell_scan_spmm(x, *args, out=out)
             continue
-        # host-side start offsets: per-step dynamic_slice from the ONE
-        # core buffer (static per-table slices OOM'd — see
-        # _ell_grouped_scan)
-        starts = off + np.arange(steps[i], dtype=np.int32) * slabs[i]
-        off += share
         out, cp = ell_scan_spmm(
-            x, *args, out=out, core=core, core_starts=starts,
-            core_slab=slabs[i], core_fn=core_fn,
+            x, *args, out=out, core3d=core3d, core_fn=core_fn,
         )
         cparts.append(cp)
     core_out = (
@@ -358,8 +365,7 @@ def _group_inner(n_steps: int, bytes_per_step: int) -> int:
 
 
 def _ell_grouped_scan(x, cols2d, vals2d, vrow_to_row, chunk, degree,
-                      nrows, out, part_fn, core=None, core_starts=None,
-                      core_slab=0, core_fn=None):
+                      nrows, out, part_fn, core3d=None, core_fn=None):
     """Shared grouped ELL driver. ``part_fn(gathered, vals) -> (chunk, H)``
     partial sums in the accumulation dtype. Groups are static slices of
     the step stream (unrolled outer loop — no (nrows, H) scan carry);
@@ -367,20 +373,18 @@ def _ell_grouped_scan(x, cols2d, vals2d, vrow_to_row, chunk, degree,
     partials, then one sorted scatter-add (the virtual-row stream is
     globally non-decreasing, so every slice is sorted too).
 
-    ``core``/``core_starts``/``core_slab``/``core_fn``: optional
-    hub-core interleaving. Each scan step additionally computes
-    ``core_fn(dynamic_slice(core, starts[step], core_slab rows)) ->
-    (core_slab, H)``, so the MXU-bound core product and the issue-bound
-    gather ride the SAME scan — measured 1.29× concurrency on v5e
-    (tools/overlap_probe.py: 17.61 ms interleaved vs 22.70 ms
-    sequential; separate top-level ops only reach 1.10×). The slab is
-    cut per step with ``dynamic_slice`` from the ONE core buffer — a
-    static per-table slice+reshape materialized multi-GiB HLO temps and
-    OOM'd the 12 GiB core on chip (measured, round 4); the per-step
-    temp is bounded at slab·kc bytes, the same trick as
-    :func:`_wide_int_core_dot`. Returns ``(out, core_parts)`` with
-    ``core_parts`` of shape (n_steps·core_slab, H) when interleaving,
-    else just ``out``."""
+    ``core3d``/``core_fn``: optional hub-core interleaving. ``core3d``
+    is this table's share of core rows, stored (n_steps, slab, cols) so
+    each scan step streams one slab as xs — the formulation that gets
+    XLA's loop-operand prefetch/double-buffering and measured 1.29×
+    gather/MXU concurrency on v5e (tools/overlap_probe.py). Each step
+    additionally computes ``core_fn(slab) -> (slab, H)``, so the
+    MXU-bound core product and the issue-bound gather ride the SAME
+    scan. Per-step ``dynamic_slice`` from a 2-D core measured ZERO
+    overlap at full scale, and static per-table slices OOM'd — see
+    PreparedSpmm._install_core. Returns ``(out, core_parts)`` with
+    ``core_parts`` of shape (n_steps·slab, H) when interleaving, else
+    just ``out``."""
     h = x.shape[1]
     n_steps = cols2d.shape[0]
     if n_steps == 0 or x.shape[0] == 0:
@@ -390,32 +394,32 @@ def _ell_grouped_scan(x, cols2d, vals2d, vrow_to_row, chunk, degree,
         # zeros in the accumulation dtype, which part_fn.acc already
         # derives from x's dtype in both callers.
         out = jnp.zeros((nrows, h), part_fn.acc) if out is None else out
-        if core is not None:
+        if core3d is not None:
             return out, jnp.zeros((0, h), part_fn.acc)
         return out
-    inner = _group_inner(n_steps, chunk * h * 4)
+    core_slab = 0 if core3d is None else int(core3d.shape[1])
+    # group sizing counts BOTH stacked buffers: the (chunk, H) tail
+    # partials and, when interleaving, the (slab, H) core partials
+    inner = _group_inner(n_steps, (chunk + core_slab) * h * 4)
 
     def body(_, blk):
-        if core is None:
+        if core3d is None:
             c, v = blk
         else:
-            c, v, st = blk
+            c, v, cs = blk
         g = jnp.take(x, c, axis=0).reshape(chunk, degree, h)
-        if core is None:
+        if core3d is None:
             return None, part_fn(g, v)
-        cs = jax.lax.dynamic_slice(
-            core, (st, jnp.int32(0)), (core_slab, core.shape[1])
-        )
         return None, (part_fn(g, v), core_fn(cs))
 
     core_parts = []
     for lo in range(0, n_steps, inner):
         hi = min(lo + inner, n_steps)
         xs = (cols2d[lo:hi], vals2d[lo:hi])
-        if core is not None:
-            xs = xs + (jnp.asarray(core_starts[lo:hi], jnp.int32),)
+        if core3d is not None:
+            xs = xs + (core3d[lo:hi],)
         _, parts = jax.lax.scan(body, None, xs)
-        if core is not None:
+        if core3d is not None:
             parts, cp = parts
             core_parts.append(cp.reshape((hi - lo) * core_slab, h))
         seg = parts.reshape((hi - lo) * chunk, h)
@@ -428,7 +432,7 @@ def _ell_grouped_scan(x, cols2d, vals2d, vrow_to_row, chunk, degree,
             out = out.at[rows].add(
                 seg.astype(out.dtype), indices_are_sorted=True
             )
-    if core is not None:
+    if core3d is not None:
         return out, (
             core_parts[0]
             if len(core_parts) == 1
@@ -467,8 +471,7 @@ def ell_scan_spmm_quant(
 
 
 def ell_scan_spmm(x, cols2d, vals2d, vrow_to_row, chunk, degree, nrows,
-                  out=None, core=None, core_starts=None, core_slab=0,
-                  core_fn=None):
+                  out=None, core3d=None, core_fn=None):
     """The ell backend's compute body (shared with the hybrid tail):
     fixed-degree gather + fused weighted reduce under ``lax.scan``,
     accumulated in memory-bounded groups (_ell_grouped_scan): each group
@@ -486,8 +489,7 @@ def ell_scan_spmm(x, cols2d, vals2d, vrow_to_row, chunk, degree, nrows,
     part_fn.acc = acc
     return _ell_grouped_scan(
         x, cols2d, vals2d, vrow_to_row, chunk, degree, nrows, out, part_fn,
-        core=core, core_starts=core_starts, core_slab=core_slab,
-        core_fn=core_fn,
+        core3d=core3d, core_fn=core_fn,
     )
 
 
@@ -517,7 +519,12 @@ def _wide_int_core_dot(core, xq):
     and stitch the (k, H) product. The last chunk overlaps (clamped
     start) rather than padding the multi-GiB core."""
     k = core.shape[0]
-    chunk = max(256, min(k, _WIDE_INT_CHUNK_BYTES // max(1, 4 * k)))
+    # temp budget per chunk = chunk · (unpacked cols) · 4 B int32; use
+    # the actual column count (cores are square ONLY in the standalone
+    # case — the interleaved per-slab calls have k = slab rows while
+    # cols keep the full core width, and packed uint8 unpacks 2× cols)
+    cols = core.shape[1] * (2 if core.dtype == jnp.uint8 else 1)
+    chunk = max(256, min(k, _WIDE_INT_CHUNK_BYTES // max(1, 4 * cols)))
     n_steps = -(-k // chunk)
     if n_steps <= 1:
         if core.dtype == jnp.uint8:
@@ -922,28 +929,42 @@ class PreparedSpmm:
                 import ml_dtypes
 
                 core = core.view(ml_dtypes.bfloat16)
-            core = self._plan_interleave(core)
-            self._dev["core"] = jnp.asarray(core)
+            self._install_core(core)
             self._dev["core_nodes"] = jnp.asarray(host["core_nodes"])
         self._install_hybrid_bcsr(host)
 
-    def _plan_interleave(self, core):
-        """Core↔tail interleave plan (PYGIM_HYBRID_INTERLEAVE=1): split
-        the dense core into one row slab per ELL-tail scan step so the
-        MXU-bound core product rides the tail's ``lax.scan`` — measured
-        1.29× gather/MXU concurrency on v5e (tools/overlap_probe.py;
-        separate top-level ops only overlap 1.10×). The run-path split
-        (_make_run) needs ``sum(slab_i · n_steps_i) >= k``; the few
-        overshoot rows (< n_steps rows, ~MBs) are zero-padded HERE, on
-        the host, before upload — padding the multi-GiB core on device
-        would transiently double its HBM footprint. Returns the (maybe
-        padded) core and records ``self.interleave = (slabs, steps, k)``.
+    def _install_core(self, core):
+        """Upload the dense hub core, planning the core↔tail interleave
+        (PYGIM_HYBRID_INTERLEAVE=1) when enabled: split the core into one
+        row slab per ELL-tail scan step so the MXU-bound core product
+        rides the tail's ``lax.scan`` — measured 1.29× gather/MXU
+        concurrency on v5e when the slab streams as scan **xs**
+        (tools/overlap_probe.py D; separate top-level ops only 1.10×).
 
-        The tail tables are coarse-stepped by construction (~26 steps on
-        reddit-sim at the shipped config), so slabs land at MXU-friendly
-        thousands of rows; cores smaller than 8 rows/step skip."""
+        Storage layout is the whole trick. Two formulations failed on
+        chip (round 4): static per-table slices of a device-resident 2-D
+        core materialized multi-GiB HLO temps and OOM'd; a per-step
+        ``dynamic_slice`` from the closed-over 2-D core ran but measured
+        ZERO overlap (102.7 ms vs 102.4 plain on the int8-12GiB reddit
+        prep — the slab read does not get the scan-operand prefetch /
+        double-buffering treatment). So when the plan engages, the core
+        is stored per table as a 3-D ``core3d{sfx}`` array of shape
+        (n_steps, slab, cols) — a zero-copy host reshape — and the run
+        path feeds it straight to ``lax.scan`` as xs, the exact
+        formulation the probe measured overlapping. Without a plan the
+        core stays 2-D at ``dev["core"]``.
+
+        ``sum(slab_i · n_steps_i) >= k``; the few overshoot rows
+        (< n_steps rows, ~MBs) are zero-padded on the HOST before upload
+        (padding on device would transiently double the multi-GiB core's
+        HBM footprint) and their zero products are trimmed after concat.
+        Records ``self.interleave = (slabs, steps, k)``. The tail tables
+        are coarse-stepped by construction (~26 steps on reddit-sim at
+        the shipped config) so slabs land at MXU-friendly thousands of
+        rows; cores smaller than 8 rows/step skip the plan."""
         if os.environ.get("PYGIM_HYBRID_INTERLEAVE", "0") != "1":
-            return core
+            self._dev["core"] = jnp.asarray(core)
+            return
         steps = [
             int(self._dev[f"cols2d{_ell_suffix(i)}"].shape[0])
             for i in range(len(self.ell_meta))
@@ -952,7 +973,8 @@ class PreparedSpmm:
         k = int(core.shape[0])
         slab = k // max(1, total)
         if total == 0 or slab < 8:
-            return core
+            self._dev["core"] = jnp.asarray(core)
+            return
         slabs = [slab] * len(steps)
         deficit = k - slab * total
         if deficit:
@@ -963,8 +985,36 @@ class PreparedSpmm:
             core = np.concatenate(
                 [core, np.zeros((k_pad - k,) + core.shape[1:], core.dtype)]
             )
+        off = 0
+        for i, (s, n) in enumerate(zip(slabs, steps)):
+            share = s * n
+            self._dev[f"core3d{_ell_suffix(i)}"] = jnp.asarray(
+                np.ascontiguousarray(core[off : off + share]).reshape(
+                    n, s, core.shape[1]
+                )
+            )
+            off += share
         self.interleave = (slabs, steps, k)
-        return core
+
+    def _core_product(self, dev, xc, acc):
+        """Dense-core product independent of the storage layout (2-D
+        ``dev["core"]``, or interleaved per-table ``core3d`` slabs —
+        reshaped back to 2-D per table, free on a jit input), trimmed to
+        the un-padded ``hybrid_k_eff`` rows. Used by the paths that need
+        the plain product while an interleave plan is installed (the
+        wide-integer fused-quant branch, phase_times' core_time)."""
+        if self.interleave is None:
+            return _core_matmul(dev["core"], xc, acc)
+        outs = []
+        for i in range(len(self.ell_meta)):
+            key = f"core3d{_ell_suffix(i)}"
+            if key in dev:
+                c3 = dev[key]
+                outs.append(
+                    _core_matmul(c3.reshape(-1, c3.shape[2]), xc, acc)
+                )
+        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+        return out[: self.interleave[2]]
 
     def _install_hybrid_bcsr(self, host):
         self.has_bcsr = "bcsr_tiles" in host
@@ -1371,7 +1421,7 @@ class PreparedSpmm:
         if self.config.backend == "hybrid":
             acc = accum_dtype(jnp.result_type(jnp.float32, jnp.dtype(qdt)))
             if self.hybrid_k_eff > 0 and not core_done:
-                core, core_nodes = dev["core"], dev["core_nodes"]
+                core_nodes = dev["core_nodes"]
                 xc = (
                     jnp.take(xq, core_nodes, axis=0)
                     if use_table
@@ -1379,11 +1429,9 @@ class PreparedSpmm:
                         jnp.take(x, core_nodes, axis=0) / safe
                     ).astype(qdt)
                 )
-                core_out = _core_matmul(core, xc, acc)
-                if inter is not None:
-                    # interleave pads core ROWS (slab coverage); this
-                    # plain dot keeps the pad — drop those rows
-                    core_out = core_out[: inter[2]]
+                # layout-independent (2-D core or interleaved core3d
+                # slabs); pad rows trimmed inside
+                core_out = self._core_product(dev, xc, acc)
                 out = out.at[core_nodes].add(core_out.astype(out.dtype))
             if getattr(self, "has_bcsr", False):
                 # wide integer payloads (int16/int32: |q| up to 2^19)
@@ -1492,13 +1540,17 @@ class PreparedSpmm:
                 jax.jit(tail_fn), x, *tail_args, iters=iters
             ) * 1e3
         if b == "hybrid" and self.hybrid_k_eff > 0:
+            # _core_product handles both layouts and trims interleave
+            # pad rows, so core_time prices the REAL k-row product (the
+            # phase split drives the interleave A/B — don't inflate it
+            # with zero-pad rows)
             core = jax.jit(
-                lambda x, c, n: _core_matmul(
-                    c, jnp.take(x, n, axis=0), jnp.float32
+                lambda x, dv: self._core_product(
+                    dv, jnp.take(x, dv["core_nodes"], axis=0), jnp.float32
                 )
             )
             out["core_time(ms)"] = device_time(
-                core, x, d["core"], d["core_nodes"], iters=iters
+                core, x, d, iters=iters
             ) * 1e3
         if b == "hybrid" and getattr(self, "has_bcsr", False):
             fn = (
@@ -1552,7 +1604,13 @@ def _make_run(backend: str, prep: PreparedSpmm):
     nrows = prep.nrows
 
     if backend == "oracle":
+        chunk = prep.config.oracle_edge_chunk
+
         def run(x, rows, cols, vals):
+            if chunk:
+                return spmm_coo_oracle_chunked(
+                    rows, cols, vals, x, nrows, chunk
+                )
             return spmm_coo_oracle(rows, cols, vals, x, nrows)
         return run
 

@@ -931,9 +931,18 @@ class TestInterleavedHybrid:
         slabs, steps, k = inter.interleave
         assert k == inter.hybrid_k_eff
         assert sum(s * n for s, n in zip(slabs, steps)) >= k
-        assert inter._dev["core"].shape[0] == sum(
-            s * n for s, n in zip(slabs, steps)
-        )
+        # interleaved storage: NO 2-D core; per-table (steps, slab, cols)
+        # arrays that stream through the tail scans as xs
+        assert "core" not in inter._dev
+        from pygim_tpu.ops.spmm import _ell_suffix
+
+        tot = 0
+        for i, (s, n) in enumerate(zip(slabs, steps)):
+            c3 = inter._dev.get(f"core3d{_ell_suffix(i)}")
+            if c3 is not None:
+                assert c3.shape[:2] == (n, s)
+                tot += n * s
+        assert tot == sum(s * n for s, n in zip(slabs, steps))
         got = np.asarray(inter.mul(x))
         # the property under test: the row-slab split changes NOTHING
         # numerically vs the plain hybrid (per-dtype core exactness vs
@@ -968,4 +977,80 @@ class TestInterleavedHybrid:
         np.testing.assert_allclose(
             np.asarray(prep.mul(x)),
             _dense_ref(coo, x), rtol=2e-2, atol=2e-2,
+        )
+
+
+class TestChunkedOracle:
+    """spmm_coo_oracle_chunked: identical math to the one-shot oracle
+    with O(chunk·H) temps in BOTH directions of autodiff — the device
+    that could not hold the raw oracle backward at flagship scale runs
+    the trained-parity arm through this (VERDICT r4 item 4)."""
+
+    def test_forward_matches_plain(self, rng):
+        import jax.numpy as jnp
+
+        from pygim_tpu.ops.reference import (
+            spmm_coo_oracle,
+            spmm_coo_oracle_chunked,
+        )
+
+        coo = _zipf_coo(rng, n=300, about_nnz=4000)
+        x = jnp.asarray(
+            rng.standard_normal((coo.ncols, 16)).astype(np.float32)
+        )
+        r, c, v = (
+            jnp.asarray(coo.rows), jnp.asarray(coo.cols),
+            jnp.asarray(coo.vals.astype(np.float32)),
+        )
+        want = np.asarray(spmm_coo_oracle(r, c, v, x, coo.nrows))
+        for chunk in (1, 7, 100, 10**9):  # incl. pad-heavy and one-shot
+            got = np.asarray(
+                spmm_coo_oracle_chunked(r, c, v, x, coo.nrows, chunk)
+            )
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_gradient_matches_plain(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from pygim_tpu.ops.reference import (
+            spmm_coo_oracle,
+            spmm_coo_oracle_chunked,
+        )
+
+        coo = _zipf_coo(rng, n=200, about_nnz=2500)
+        x = jnp.asarray(
+            rng.standard_normal((coo.ncols, 8)).astype(np.float32)
+        )
+        w = jnp.asarray(rng.standard_normal((8,)).astype(np.float32))
+        r, c, v = (
+            jnp.asarray(coo.rows), jnp.asarray(coo.cols),
+            jnp.asarray(coo.vals.astype(np.float32)),
+        )
+
+        def loss(fn):
+            return lambda x_: jnp.sum(
+                jnp.tanh(fn(r, c, v, x_, coo.nrows)) * w
+            )
+
+        g_plain = jax.grad(loss(spmm_coo_oracle))(x)
+        g_chunk = jax.grad(
+            loss(
+                lambda *a: spmm_coo_oracle_chunked(*a, 64)
+            )
+        )(x)
+        np.testing.assert_allclose(
+            np.asarray(g_chunk), np.asarray(g_plain), rtol=1e-5, atol=1e-5
+        )
+
+    def test_oracle_backend_config_routes_chunked(self, rng):
+        coo = _zipf_coo(rng, n=200, about_nnz=2500)
+        x = rng.standard_normal((coo.ncols, 8)).astype(np.float32)
+        plain = prepare_spmm(coo, SpmmConfig(backend="oracle"))
+        chunked = prepare_spmm(
+            coo, SpmmConfig(backend="oracle", oracle_edge_chunk=128)
+        )
+        np.testing.assert_allclose(
+            np.asarray(chunked.mul(x)), np.asarray(plain.mul(x)),
+            rtol=1e-5, atol=1e-5,
         )
