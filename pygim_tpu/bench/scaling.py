@@ -95,4 +95,13 @@ def run_scaling_benchmark(
             base_eps = eps
         elif base_eps:
             rep.report(f"scaling_efficiency_n{n}", eps / (n * base_eps))
+        # rehearsal hygiene: at papers100M-density scale each count's
+        # tables are multi-GB of host "device" buffers — free them (and
+        # every jit/program cache that pins them) before the next count
+        # (same lesson as run_experiments' OOM hygiene, round 3)
+        del prep
+        import gc
+
+        gc.collect()
+        jax.clear_caches()
     return rep.means()

@@ -157,7 +157,10 @@ def _read_csv_gz(path: Path, dtype, chunk_bytes: int = 1 << 26) -> np.ndarray:
     try:
         import pandas as pd
 
-        df = pd.read_csv(path, header=None, dtype=dtype)
+        try:
+            df = pd.read_csv(path, header=None, dtype=dtype)
+        except pd.errors.EmptyDataError:
+            return np.empty((0, 1), dtype=dtype)
         return np.ascontiguousarray(df.to_numpy())
     except ImportError:
         pass

@@ -57,49 +57,83 @@ def main():
     enable_cache()
     log("devices:", jax.devices())
 
+    import ml_dtypes
+
     rng = np.random.default_rng(0)
 
     # gather side: 1M rows of 256 B (issue-bound, ~8 ms), 16 steps
     NROWS, H = 1 << 20, 64
     STEPS = 16
-    table = jnp.asarray(rng.standard_normal((NROWS, H)), jnp.float32)
-    idx_c = jnp.asarray(
-        rng.integers(0, NROWS, (STEPS, (1 << 20) // STEPS)), jnp.int32
-    )
+    # dtype-exact host arrays ONLY (no converting uploads, no device
+    # astype before the first compile): runs 05/06 died with
+    # remote_compile HTTP 413 before the first variant finished — each
+    # stage below uploads lazily and fences, so a failure names its
+    # stage
+    table_np = rng.standard_normal((NROWS, H)).astype(np.float32)
+    idx_np = rng.integers(
+        0, NROWS, (STEPS, (1 << 20) // STEPS)
+    ).astype(np.int32)
+    log("uploading gather arrays ...")
+    table = jax.block_until_ready(jnp.asarray(table_np))
+    idx_c = jax.block_until_ready(jnp.asarray(idx_np))
+    log("gather arrays resident")
 
     # core side: int8 (k, kc) = (32768, 32768) = 1 GiB, slab = k/STEPS,
     # activations (kc, HC) bf16 closed over — the real hybrid's shape
     # class (reddit: k=113408, HC=256, 26 steps)
     K, KC, HC = 32768, 32768, 256
     SLAB = K // STEPS
-    # dtype-exact host arrays + host reshape: dtype-converting uploads
-    # embed the source array in the compile request on this tunnel
-    # (first probe run died with remote_compile HTTP 413)
     core_np = rng.integers(-3, 4, (K, KC), dtype=np.int8)
-    core2d = jnp.asarray(core_np)
-    core3d = jnp.asarray(core_np.reshape(STEPS, SLAB, KC))
-    xc = jnp.asarray(
-        rng.standard_normal((KC, HC)).astype(np.float32)
-    ).astype(jnp.bfloat16)
+    xc_np = rng.standard_normal((KC, HC)).astype(ml_dtypes.bfloat16)
 
-    def gather_step(ic):
-        return jnp.take(table, ic, axis=0).sum(axis=0)
+    _lazy = {}
 
-    def slab_dot(cs):
+    def arrays_for(name):
+        if name == "A_gather":
+            return (idx_c, table)
+        if "xc" not in _lazy:
+            log("uploading xc ...")
+            _lazy["xc"] = jax.block_until_ready(jnp.asarray(xc_np))
+        if name in ("M_xs", "AB_xs") and "core3d" not in _lazy:
+            log("uploading core3d (1 GiB) ...")
+            _lazy["core3d"] = jax.block_until_ready(
+                jnp.asarray(core_np.reshape(STEPS, SLAB, KC))
+            )
+            log("core3d resident")
+        if name in ("M_ds", "AB_ds") and "core2d" not in _lazy:
+            log("uploading core2d (1 GiB) ...")
+            _lazy["core2d"] = jax.block_until_ready(jnp.asarray(core_np))
+            log("core2d resident")
+        return {
+            "M_xs": lambda: (_lazy["core3d"], _lazy["xc"]),
+            "M_ds": lambda: (_lazy["core2d"], _lazy["xc"]),
+            "AB_xs": lambda: (idx_c, table, _lazy["core3d"], _lazy["xc"]),
+            "AB_ds": lambda: (idx_c, table, _lazy["core2d"], _lazy["xc"]),
+        }[name]()
+
+    # NB: bodies must reference ONLY their jit parameters — a closure
+    # over a resident device array bakes it into the HLO as a CONSTANT
+    # (a 256 MB+ compile request: the actual cause of runs 05-08's
+    # remote_compile HTTP 413s)
+
+    def _gather_step(tbl, ic):
+        return jnp.take(tbl, ic, axis=0).sum(axis=0)
+
+    def _slab_dot(cs, xc):
         return jnp.dot(
             cs.astype(jnp.bfloat16), xc, preferred_element_type=jnp.float32
         )
 
     def a_gather(idx_c, table):
         def step(carry, ic):
-            return carry + gather_step(ic), None
+            return carry + _gather_step(table, ic), None
 
         out, _ = jax.lax.scan(step, jnp.zeros((H,), jnp.float32), idx_c)
         return out
 
     def m_xs(core3d, xc):
         def step(_, cs):
-            return None, slab_dot(cs)
+            return None, _slab_dot(cs, xc)
 
         _, ys = jax.lax.scan(step, None, core3d)
         return ys
@@ -109,7 +143,7 @@ def main():
             cs = jax.lax.dynamic_slice(
                 core2d, (st, jnp.int32(0)), (SLAB, KC)
             )
-            return None, slab_dot(cs)
+            return None, _slab_dot(cs, xc)
 
         starts = jnp.arange(STEPS, dtype=jnp.int32) * SLAB
         _, ys = jax.lax.scan(step, None, starts)
@@ -118,7 +152,7 @@ def main():
     def ab_xs(idx_c, table, core3d, xc):
         def step(carry, xs):
             ic, cs = xs
-            return carry + gather_step(ic), slab_dot(cs)
+            return carry + _gather_step(table, ic), _slab_dot(cs, xc)
 
         g, ys = jax.lax.scan(
             step, jnp.zeros((H,), jnp.float32), (idx_c, core3d)
@@ -131,7 +165,7 @@ def main():
             cs = jax.lax.dynamic_slice(
                 core2d, (st, jnp.int32(0)), (SLAB, KC)
             )
-            return carry + gather_step(ic), slab_dot(cs)
+            return carry + _gather_step(table, ic), _slab_dot(cs, xc)
 
         starts = jnp.arange(STEPS, dtype=jnp.int32) * SLAB
         g, ys = jax.lax.scan(
@@ -140,13 +174,14 @@ def main():
         return g, ys
 
     results = {}
-    for name, fn, args, tup in (
-        ("A_gather", a_gather, (idx_c, table), False),
-        ("M_xs", m_xs, (core3d, xc), False),
-        ("M_ds", m_ds, (core2d, xc), False),
-        ("AB_xs", ab_xs, (idx_c, table, core3d, xc), True),
-        ("AB_ds", ab_ds, (idx_c, table, core2d, xc), True),
+    for name, fn, tup in (
+        ("A_gather", a_gather, False),
+        ("M_xs", m_xs, False),
+        ("M_ds", m_ds, False),
+        ("AB_xs", ab_xs, True),
+        ("AB_ds", ab_ds, True),
     ):
+        args = arrays_for(name)
         jitted = jax.jit(fn)
         timed = (lambda j: lambda *xs: j(*xs)[0])(jitted) if tup else jitted
         t0 = time.time()
