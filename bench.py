@@ -149,6 +149,7 @@ def main():
         cfg = SpmmConfig(
             backend=backend, format="csr", hybrid_core_bytes=budget,
             hybrid_dtype=core_dtype or None,
+            hybrid_shape=os.environ.get("PYGIM_BENCH_CORE_SHAPE", "square"),
         )
         try:
             t0 = time.time()

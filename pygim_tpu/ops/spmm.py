@@ -106,6 +106,14 @@ class SpmmConfig:
                                            # major) or "panel" (column-
                                            # block major, amortized panel
                                            # reads — lower edge cutoff)
+    # hybrid core REGION in rank space: "square" = the classic [0,k)²
+    # hub block; "stair" = the byte-optimal superlevel-set staircase —
+    # ≤ stair_max_bands dense row bands of tapering column width chosen
+    # by core/stair.py (measured on reddit-sim: 99.36% edge coverage at
+    # 12 GiB vs the square's 96.85% — the tail is issue-bound, so
+    # coverage per byte is the single-chip headline lever; round 5)
+    hybrid_shape: str = "square"
+    stair_max_bands: int = 8
     # merge duplicate (row, col) entries at prepare — a semantic no-op
     # for SpMM that shrinks every gather tier (core/graph.py
     # merge_duplicate_edges). R-MAT-style generators emit multi-edges:
@@ -890,6 +898,12 @@ class PreparedSpmm:
             f"{config.bcsr_order}-{config.bcsr_layout}-"
             f"{config.hidden_hint}".encode()
         )
+        if config.hybrid_shape != "square":
+            # appended ONLY for non-square shapes so every pre-existing
+            # square cache key stays valid (13 GiB rebuilds are minutes)
+            h.update(
+                f"{config.hybrid_shape}-{config.stair_max_bands}".encode()
+            )
         cache_path = cache_dir / f"hybrid-{h.hexdigest()[:16]}.npz"
         host = None
         if cache_path.exists():
@@ -923,7 +937,22 @@ class PreparedSpmm:
             self.ell_meta.append((chunk, int(host[f"degree{sfx}"])))
         self.row_chunk, self.ell_degree = self.ell_meta[0]
         self.interleave = None
-        if self.hybrid_k_eff > 0:
+        self.stair = None
+        if "stair_bands" in host:
+            # staircase core: per-band dense blocks (see
+            # _prepare_stair_build); hybrid_k_eff counts covered ROWS
+            self.stair = [
+                tuple(int(v) for v in b) for b in host["stair_bands"]
+            ]
+            for b in range(len(self.stair)):
+                arr = host[f"stair{b}"]
+                if str(host["core_dtype"]) == "bfloat16":
+                    import ml_dtypes
+
+                    arr = arr.view(ml_dtypes.bfloat16)
+                self._dev[f"stair{b}"] = jnp.asarray(arr)
+            self._dev["core_nodes"] = jnp.asarray(host["core_nodes"])
+        elif self.hybrid_k_eff > 0:
             core = host["core"]
             if str(host["core_dtype"]) == "bfloat16":
                 import ml_dtypes
@@ -998,11 +1027,18 @@ class PreparedSpmm:
 
     def _core_product(self, dev, xc, acc):
         """Dense-core product independent of the storage layout (2-D
-        ``dev["core"]``, or interleaved per-table ``core3d`` slabs —
-        reshaped back to 2-D per table, free on a jit input), trimmed to
-        the un-padded ``hybrid_k_eff`` rows. Used by the paths that need
-        the plain product while an interleave plan is installed (the
-        wide-integer fused-quant branch, phase_times' core_time)."""
+        ``dev["core"]``; interleaved per-table ``core3d`` slabs —
+        reshaped back to 2-D per table, free on a jit input; or
+        staircase bands, each dotted against its width's prefix of the
+        rank-gathered ``xc``), trimmed to the un-padded
+        ``hybrid_k_eff`` rows. Callers scatter the result with
+        ``core_nodes[:hybrid_k_eff]``."""
+        if getattr(self, "stair", None) is not None:
+            outs = [
+                _core_matmul(dev[f"stair{b}"], xc[:w], acc)
+                for b, (_lo, _hi, w) in enumerate(self.stair)
+            ]
+            return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
         if self.interleave is None:
             return _core_matmul(dev["core"], xc, acc)
         outs = []
@@ -1062,6 +1098,11 @@ class PreparedSpmm:
             itemsize = 0.5  # nibble-packed: two cells per stored byte
         else:
             itemsize = float(np.dtype(core_dtype).itemsize)
+        if config.hybrid_shape == "stair" and config.hybrid_k is None \
+                and config.hybrid_core_bytes > 0:
+            return self._prepare_stair_build(
+                coo, config, rank, order, core_dtype, itemsize, pt
+            )
         if config.hybrid_k is not None:
             k = max(0, min(config.hybrid_k, n))
         elif config.hybrid_core_bytes <= 0:
@@ -1307,6 +1348,13 @@ class PreparedSpmm:
                 )
 
         pt.stop("bcsr")
+        self._finish_hybrid_tail(host, coo, config, tail_sel, pt)
+        return host
+
+    def _finish_hybrid_tail(self, host, coo, config, tail_sel, pt):
+        """Build the ELL tail tables for the non-core edges (shared by
+        the square and staircase core builds)."""
+        n = coo.nrows
         pt.start("ell_tail")
         # tail stays in ORIGINAL node ids — no full-graph permutation at
         # run time; only the core/tile tiers touch the ranking (bounded
@@ -1326,6 +1374,125 @@ class PreparedSpmm:
             host[f"vals2d{sfx}"] = t.vals
             host[f"vrow_to_row{sfx}"] = t.vrow_to_row
         pt.stop("ell_tail")
+
+    def _prepare_stair_build(
+        self, coo, config: SpmmConfig, rank, order, core_dtype, itemsize,
+        pt,
+    ):
+        """Staircase-core prepare (hybrid_shape='stair'): ≤
+        ``stair_max_bands`` dense row bands of tapering width in
+        degree-rank space, planned as the byte-budget superlevel set of
+        the rank×rank cell density (core/stair.py — measured on
+        reddit-sim: 99.36% coverage at 12 GiB vs the square's 96.85%;
+        the issue-bound tail shrinks by the coverage delta, the core
+        MXU flops stay budget-bound). Cells outside a band, and cells
+        not representable in an integer core dtype, demote to the exact
+        ELL tail exactly as in the square build. BCSR is not composed
+        with stair bands (the bands already take the coverage the tiles
+        would — config.bcsr_bytes is ignored with a log note)."""
+        import logging
+
+        from pygim_tpu.core.stair import plan_staircase
+
+        n = coo.nrows
+        budget_cells = int(config.hybrid_core_bytes / itemsize)
+        col_q = 512 if core_dtype == "int4" else 256
+        rr = rank[coo.rows].astype(np.int64)
+        cc = rank[coo.cols].astype(np.int64)
+        pt.start("stair_plan")
+        bands = plan_staircase(
+            rr, cc, n, budget_cells,
+            max_bands=config.stair_max_bands, col_quant=col_q,
+        )
+        pt.stop("stair_plan")
+        host: dict = {"core_dtype": np.str_(core_dtype)}
+        if config.bcsr_bytes > 0:
+            logging.getLogger("pygim_tpu").info(
+                "hybrid_shape='stair': bcsr_bytes ignored (bands subsume "
+                "the tile tier's coverage)"
+            )
+        if not bands:
+            host["k"] = np.int64(0)
+            self._finish_hybrid_tail(
+                host, coo, config, np.ones(coo.nnz, dtype=bool), pt
+            )
+            return host
+        his = np.array([b[1] for b in bands], dtype=np.int64)
+        ws = np.array([b[2] for b in bands], dtype=np.int64)
+        bi = np.searchsorted(his, rr, side="right")
+        in_core = (bi < len(bands)) & (cc < ws[np.minimum(bi, len(bands) - 1)])
+        rows_total = int(his[-1])
+        host["k"] = np.int64(rows_total)
+        host["stair_bands"] = np.asarray(bands, dtype=np.int64)
+        host["core_nodes"] = order[: max(rows_total, int(ws.max()))]
+
+        if core_dtype == "int4":
+            hi_lim, lo_lim = 7, -8
+        else:
+            hi_lim, lo_lim = 127, -128
+        pt.start("core_fill")
+        idx = np.flatnonzero(in_core)
+        sidx = idx[np.argsort(rr[idx], kind="stable")]
+        srr = rr[sidx]
+        vals32 = coo.vals.astype(np.float64)
+        demoted = []
+        for b, (lo, hi, w) in enumerate(bands):
+            rows_b = hi - lo
+            if core_dtype == "int4":
+                store = np.empty((rows_b, w // 2), dtype=np.uint8)
+            elif core_dtype == "int8":
+                store = np.empty((rows_b, w), dtype=np.int8)
+            elif core_dtype == "bfloat16":
+                store = np.empty((rows_b, w), dtype=np.uint16)
+            else:
+                store = np.empty((rows_b, w), dtype=np.float32)
+            # ~256 MB f32 of cells per fill chunk
+            chunk_rows = max(8, ((1 << 28) // max(1, w * 4)) // 8 * 8)
+            for c0 in range(0, rows_b, chunk_rows):
+                c1 = min(c0 + chunk_rows, rows_b)
+                e0 = np.searchsorted(srr, lo + c0, side="left")
+                e1 = np.searchsorted(srr, lo + c1, side="left")
+                eidx = sidx[e0:e1]
+                flat = (rr[eidx] - (lo + c0)) * w + cc[eidx]
+                blk = np.bincount(
+                    flat, weights=vals32[eidx],
+                    minlength=(c1 - c0) * w,
+                ).astype(np.float32).reshape(c1 - c0, w)
+                if core_dtype in ("int8", "int4"):
+                    rb = np.round(blk)
+                    bad = (rb > hi_lim) | (rb < lo_lim) | (rb != blk)
+                    if bad.any():
+                        bad_flat = np.flatnonzero(bad.ravel())
+                        dem = np.isin(flat, bad_flat)
+                        demoted.append(eidx[dem])
+                        rb = np.where(bad, 0.0, rb)
+                    if core_dtype == "int8":
+                        store[c0:c1] = rb.astype(np.int8)
+                    else:
+                        q = rb.astype(np.int8)
+                        lo4 = q[:, 0::2].astype(np.uint8) & 0xF
+                        hi4 = q[:, 1::2].astype(np.uint8) & 0xF
+                        store[c0:c1] = lo4 | (hi4 << 4)
+                elif core_dtype == "bfloat16":
+                    from pygim_tpu.core import native
+
+                    # bit view, NOT value cast: f32_to_bf16_bits returns
+                    # bfloat16 VALUES; the store holds their bits
+                    store[c0:c1] = np.asarray(
+                        native.f32_to_bf16_bits(blk)
+                    ).reshape(c1 - c0, w).view(np.uint16)
+                else:
+                    store[c0:c1] = blk
+            host[f"stair{b}"] = store
+        if demoted:
+            dem = np.concatenate(demoted)
+            in_core[dem] = False
+            logging.getLogger("pygim_tpu").info(
+                "%s stair core: %d edges not representable — demoted to "
+                "the ELL tail", core_dtype, dem.size,
+            )
+        pt.stop("core_fill")
+        self._finish_hybrid_tail(host, coo, config, ~in_core, pt)
         return host
 
     def mul(self, x):
@@ -1429,10 +1596,12 @@ class PreparedSpmm:
                         jnp.take(x, core_nodes, axis=0) / safe
                     ).astype(qdt)
                 )
-                # layout-independent (2-D core or interleaved core3d
-                # slabs); pad rows trimmed inside
+                # layout-independent (2-D core, interleaved core3d
+                # slabs, or stair bands); pad rows trimmed inside
                 core_out = self._core_product(dev, xc, acc)
-                out = out.at[core_nodes].add(core_out.astype(out.dtype))
+                out = out.at[core_nodes[: self.hybrid_k_eff]].add(
+                    core_out.astype(out.dtype)
+                )
             if getattr(self, "has_bcsr", False):
                 # wide integer payloads (int16/int32: |q| up to 2^19)
                 # exceed bf16's exact-integer range — compute the tile
@@ -1631,6 +1800,7 @@ def _make_run(backend: str, prep: PreparedSpmm):
     if backend == "hybrid":
         meta = list(prep.ell_meta)
         has_core = prep.hybrid_k_eff > 0
+        k_eff = prep.hybrid_k_eff
         has_bcsr = getattr(prep, "has_bcsr", False)
         inter = getattr(prep, "interleave", None)
         if has_bcsr:
@@ -1654,10 +1824,15 @@ def _make_run(backend: str, prep: PreparedSpmm):
                 out = _ell_tail_all(x, dev, meta, nrows)
             if has_core and inter is None:
                 core_nodes = dev["core_nodes"]
-                core_out = _core_matmul(
-                    dev["core"], jnp.take(x, core_nodes, axis=0), acc
+                # layout-dispatching product (square 2-D core or stair
+                # bands); rows beyond hybrid_k_eff in core_nodes are
+                # column-only rank entries (stair: widest band > rows)
+                core_out = prep._core_product(
+                    dev, jnp.take(x, core_nodes, axis=0), acc
                 )
-                out = out.at[core_nodes].add(core_out.astype(out.dtype))
+                out = out.at[core_nodes[:k_eff]].add(
+                    core_out.astype(out.dtype)
+                )
             if has_bcsr:
                 # wide integer x (int16/int32 quantized payloads) exceeds
                 # bf16's exact range — compute the tile tier in f32 (the

@@ -143,6 +143,18 @@ def main():
             t, k1, k2, capL, cells = best
             report(f"L-shape k1={k1} k2={k2}", capL, cells)
 
+        # (d) the PRACTICAL plan: plan_staircase with a band budget
+        from pygim_tpu.core.stair import plan_staircase, staircase_coverage
+
+        rr, cc = rank[g.rows], rank[g.cols]
+        for mb in (4, 8, 12):
+            t0 = time.time()
+            bands = plan_staircase(rr, cc, n, budget_cells, max_bands=mb)
+            capB = staircase_coverage(bands, rr, cc)
+            cells = sum((b[1] - b[0]) * b[2] for b in bands)
+            report(f"plan_staircase bands={len(bands)}", capB, cells)
+            log(f"    bands: {bands}  [{time.time()-t0:.0f}s]")
+
 
 if __name__ == "__main__":
     main()
