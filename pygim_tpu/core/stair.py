@@ -38,6 +38,22 @@ def _geom_edges(n: int, count: int, start: int = 64) -> np.ndarray:
     return e
 
 
+def stair_grid(
+    rank_r: np.ndarray, rank_c: np.ndarray, n: int, grid: int = 192
+) -> tuple:
+    """Precompute the geometric rank×rank edge histogram — the O(nnz)
+    part of staircase planning, reusable across byte budgets (the tuner
+    memoizes this once per graph and plans each candidate from it)."""
+    redges = _geom_edges(n, grid)
+    cedges = _geom_edges(n, grid)
+    ri = np.searchsorted(redges, rank_r, side="right") - 1
+    ci = np.searchsorted(cedges, rank_c, side="right") - 1
+    nb_r, nb_c = len(redges) - 1, len(cedges) - 1
+    g = np.zeros((nb_r, nb_c), dtype=np.int64)
+    np.add.at(g, (ri, ci), 1)
+    return redges, cedges, g
+
+
 def plan_staircase(
     rank_r: np.ndarray,
     rank_c: np.ndarray,
@@ -48,6 +64,7 @@ def plan_staircase(
     row_quant: int = 8,
     col_quant: int = 256,
     grid: int = 192,
+    _grid_data=None,
 ) -> "list[tuple[int, int, int]]":
     """Choose ≤ ``max_bands`` row bands ``(row_lo, row_hi, width)`` in
     rank space, total cells ≤ ``budget_cells``, approximately maximizing
@@ -56,16 +73,16 @@ def plan_staircase(
 
     Bands tile ``[0, row_hi_last)`` contiguously; an edge is captured
     iff its row rank falls in some band AND its col rank < that band's
-    width. Returns [] when no band is worth keeping (tiny budgets)."""
+    width. Returns [] when no band is worth keeping (tiny budgets).
+    ``_grid_data``: a precomputed :func:`stair_grid` result."""
     if budget_cells <= 0 or len(rank_r) == 0:
         return []
-    redges = _geom_edges(n, grid)
-    cedges = _geom_edges(n, grid)
-    ri = np.searchsorted(redges, rank_r, side="right") - 1
-    ci = np.searchsorted(cedges, rank_c, side="right") - 1
-    nb_r, nb_c = len(redges) - 1, len(cedges) - 1
-    g = np.zeros((nb_r, nb_c), dtype=np.int64)
-    np.add.at(g, (ri, ci), 1)
+    redges, cedges, g = (
+        _grid_data
+        if _grid_data is not None
+        else stair_grid(rank_r, rank_c, n, grid)
+    )
+    nb_r = len(redges) - 1
     cum = np.cumsum(g, axis=1)  # cum[i, j]: edges with col < cedges[j+1]
     rows_per = np.diff(redges).astype(np.int64)
     col_hi = cedges[1:].astype(np.int64)

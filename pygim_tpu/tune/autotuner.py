@@ -66,12 +66,35 @@ DEFAULT_SPACE = (
 # hbm_budget_bytes cap in autotune().
 HYBRID_SPACE = (
     For("backend", ["hybrid"])
-    * For("hybrid_core_bytes", [1 << 30, 4 << 30, 8 << 30, 12 << 30])
+    # 6 GiB: the measured products sweet spot (int4-6GiB fits + wins,
+    # 8 GiB OOMs — docs/PERF.md round 3); a space without it cannot
+    # rank what the chip actually runs
+    * For("hybrid_core_bytes",
+          [1 << 30, 4 << 30, 6 << 30, 8 << 30, 12 << 30])
     # int8/int4 candidates are pruned in autotune() for non-integer
     # graphs (int4 = nibble-packed, cells in [-8, 7], 0.5 B/cell)
     * For("hybrid_dtype", [None, "bfloat16", "int8", "int4"])
     * For("balance", ["nnz"])
 )
+
+
+def _stair_mask(memo: dict, csr: CsrGraph, bands) -> np.ndarray:
+    """O(nnz) staircase-membership mask, single-slot cached like
+    :func:`_in_core_mask` (same RAM argument)."""
+    key = tuple(map(tuple, bands))
+    last = memo.get("stair_mask_last")
+    if last is not None and last[0] == key:
+        return last[1]
+    rank, rows_of = memo["rank"], memo["rows_of"]
+    rr, cc = rank[rows_of], rank[csr.colind]
+    his = np.array([b[1] for b in bands], dtype=np.int64)
+    ws = np.array([b[2] for b in bands], dtype=np.int64)
+    idx = np.searchsorted(his, rr, side="right")
+    mask = (idx < len(bands)) & (
+        cc < ws[np.minimum(idx, len(bands) - 1)]
+    )
+    memo["stair_mask_last"] = (key, mask)
+    return mask
 
 
 def _in_core_mask(memo: dict, csr: CsrGraph, k: int) -> np.ndarray:
@@ -166,17 +189,56 @@ def plan_statistics(
                     np.arange(csr.nrows, dtype=np.int64), deg
                 )
             rank, rows_of = memo["rank"], memo["rows_of"]
-            core_bytes = int(k * k * itemsize) // max(1, sp)  # per device
+            stair_bands = None
+            if config.hybrid_shape == "stair" and config.hybrid_k is None:
+                # staircase region (core/stair.py): plan from the ONE
+                # memoized rank×rank histogram; candidates are
+                # single-chip only (autotune filters the layouts)
+                from pygim_tpu.core.stair import plan_staircase, stair_grid
+
+                gd = memo.get("stair_grid")
+                if gd is None:
+                    gd = stair_grid(
+                        rank[rows_of], rank[csr.colind], csr.nrows
+                    )
+                    memo["stair_grid"] = gd
+                col_q = 512 if config.hybrid_dtype == "int4" else 256
+                budget_cells = int(budget_eff / itemsize)
+                bkey = ("stair", budget_cells, config.stair_max_bands,
+                        col_q)
+                stair_bands = memo.get(bkey)
+                if stair_bands is None:
+                    stair_bands = plan_staircase(
+                        rank[rows_of], rank[csr.colind], csr.nrows,
+                        budget_cells,
+                        max_bands=config.stair_max_bands, col_quant=col_q,
+                        _grid_data=gd,
+                    )
+                    memo[bkey] = stair_bands
+                cells = sum((hi - lo) * w for lo, hi, w in stair_bands)
+                core_bytes = int(cells * itemsize)
+                k = stair_bands[-1][1] if stair_bands else 0
+            else:
+                core_bytes = int(k * k * itemsize) // max(1, sp)
             k_hybrid = k
-            tail_deg = memo.get(("tail_deg", k))
+            tkey = (
+                ("tail_deg_stair", tuple(map(tuple, stair_bands)))
+                if stair_bands is not None
+                else ("tail_deg", k)
+            )
+            tail_deg = memo.get(tkey)
             if tail_deg is None:
                 # only the small per-k tail_deg persists in the memo;
                 # the O(nnz) mask lives in a single-slot cache
-                in_core = _in_core_mask(memo, csr, k)
+                in_core = (
+                    _stair_mask(memo, csr, stair_bands)
+                    if stair_bands is not None
+                    else _in_core_mask(memo, csr, k)
+                )
                 tail_deg = np.bincount(
                     rows_of[~in_core], minlength=csr.nrows
                 ).astype(np.int64)
-                memo[("tail_deg", k)] = tail_deg
+                memo[tkey] = tail_deg
             if config.hybrid_dtype in ("int4", "int8"):
                 # Integer cores DEMOTE cells whose merged value falls
                 # outside the representable range back to the ELL tail
@@ -187,7 +249,12 @@ def plan_statistics(
                 # k=80k keeps ~94% (measured round 3: tail 61.3M slots
                 # vs 7.6M; 364 ms vs 144 ms). Exact per-k cell-value
                 # histogram, memoized once and shared by int4/int8.
-                dem = memo.get(("demote", k))
+                dkey = (
+                    ("demote_stair", tuple(map(tuple, stair_bands)))
+                    if stair_bands is not None
+                    else ("demote", k)
+                )
+                dem = memo.get(dkey)
                 if dem is None:
                     # a demoted cell re-enters the tail (one entry per
                     # stored edge, ops/spmm.py _demote_edges). On the
@@ -195,7 +262,11 @@ def plan_statistics(
                     # merges at entry, like every prepare path), cell
                     # value == stored value, so the histogram is a
                     # direct range count over in-core edge values.
-                    in_core = _in_core_mask(memo, csr, k)
+                    in_core = (
+                        _stair_mask(memo, csr, stair_bands)
+                        if stair_bands is not None
+                        else _in_core_mask(memo, csr, k)
+                    )
                     iv = csr.vals[in_core]
                     s = iv[:: max(1, iv.size // 4096)]
                     dem = {"int4": 0, "int8": 0}
@@ -204,7 +275,7 @@ def plan_statistics(
                         dem["int8"] = int(
                             ((iv > 127) | (iv < -128)).sum()
                         )
-                    memo[("demote", k)] = dem
+                    memo[dkey] = dem
                 demoted = dem[config.hybrid_dtype]
                 if demoted:
                     tail_deg = tail_deg.copy()
@@ -214,7 +285,8 @@ def plan_statistics(
                     # order for the padding model
                     tail_deg[hub] += demoted // max(1, int(hub.sum()))
             deg = tail_deg
-            if config.bcsr_bytes > 0 and plan.layout in (
+            if config.bcsr_bytes > 0 and stair_bands is None \
+                    and plan.layout in (
                 "single", "2d", "halo",
             ):
                 # BCSR middle tier: price tile capture with the sampled
@@ -381,13 +453,23 @@ def plan_statistics(
         bcsr_flops = 2 * slots * tr * tc * h_local // max(1, sp)
 
     # rough per-device HBM residency, for the hbm budget cap: sparse
-    # tables + core + tile store + x slice + output slice
+    # tables + core + tile store + x slice + output slice, PLUS the
+    # run-path working set XLA holds live — one more output-sized buffer
+    # (the functionalized at[].add scatter) and the grouped-scan partial
+    # stack (ops/spmm.py ELL_PARTIAL_BYTES). Round-4/5 on-chip evidence:
+    # a 13.15 GiB core + small extras OOM'd intermittently while the
+    # residency sum said 13.4/16 GB — temps are real memory, and the cap
+    # must see them or the argmin admits configs the chip rejects
+    # (products int4-8GiB, reddit 12GiB+1GiB-BCSR).
+    from pygim_tpu.ops.spmm import ELL_PARTIAL_BYTES
+
     device_bytes = (
         nnz_dev * (4 + dtype_bytes)
         + core_bytes
         + bcsr_store
         + (-(-csr.ncols // max(1, sp))) * h_local * dtype_bytes
         + out_rows_dev * h_local * dtype_bytes
+        + ELL_PARTIAL_BYTES
     )
 
     return {
@@ -554,7 +636,13 @@ def autotune(
         # must cover the axes that dominate measured time (docs/PERF.md:
         # core budget/dtype moved products 3.45 s → 2.24 s)
         pts, seen = [], set()
-        for p in list(DEFAULT_SPACE) + list(HYBRID_SPACE):
+        # staircase variants of every hybrid point (round 5): same
+        # budgets/dtypes with the superlevel-set banded region —
+        # single-chip only (filtered below), priced via plan_staircase
+        stair_pts = [
+            {**q, "hybrid_shape": "stair"} for q in HYBRID_SPACE
+        ]
+        for p in list(DEFAULT_SPACE) + list(HYBRID_SPACE) + stair_pts:
             j = json.dumps(p, sort_keys=True)
             if j not in seen:
                 seen.add(j)
@@ -577,7 +665,13 @@ def autotune(
                 st = jax.local_devices()[0].memory_stats()
                 lim = (st or {}).get("bytes_limit")
                 if lim:
-                    hbm_budget_bytes = int(lim * 0.92)
+                    # 0.875: calibrated against the on-chip OOM ledger
+                    # with the device_bytes accounting above — admits
+                    # every config that ran (reddit int8/bf16-12GiB,
+                    # products int4-6GiB) and prunes every config that
+                    # OOM'd (products int4-8/10GiB, 12GiB-core+1GiB-
+                    # tile combinations)
+                    hbm_budget_bytes = int(lim * 0.875)
         except Exception:
             pass
     # every candidate carries the tuned width: choose_ell_degree (and the
@@ -643,6 +737,10 @@ def autotune(
                 continue
             if cfg.backend == "hybrid" and not square:
                 continue
+            # staircase cores are implemented single-chip only (the
+            # sharded layouts keep the square region)
+            if cfg.hybrid_shape == "stair" and dist.layout != "single":
+                continue
             # the int8 core stores exact small integers (out-of-range
             # cells demote to the ELL tail at prepare); offer it for
             # integer dtypes AND integer-VALUED float graphs (unweighted
@@ -681,6 +779,9 @@ def autotune(
             if d.layout == "single"
             and p.get("backend") == "hybrid"
             and not p.get("bcsr_bytes")
+            # stair bands subsume the tile tier (prepare ignores
+            # bcsr_bytes there) — no BCSR variants of a stair base
+            and p.get("hybrid_shape", "square") != "stair"
         ),
         None,
     )

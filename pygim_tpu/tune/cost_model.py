@@ -58,6 +58,18 @@ class TpuCostModel:
     # {"psum", "all_gather", "all_to_all", "ring"}. None = price every
     # collective at the datasheet ici_bw (the pre-calibration behavior).
     coll: Optional[dict] = None
+    # TUNER-layer correction on the per-slot gather cost over the degree
+    # chooser's 8.7 ns floor. Round-5 calibration: the MULTI-TABLE tails
+    # actually shipped run at ~13 ns/slot end-to-end — two independent
+    # measured points fit it (reddit int8-12GiB: 60.9 ms tail over 3.41M
+    # slots + 0.27M vrows; bf16-12GiB: 127.7 ms over 8.53M + 0.30M) —
+    # the smaller per-degree scans and per-group scatter-adds cost real
+    # overhead the single-table floor calibration never saw. The degree
+    # CHOOSER keeps the 8.7 ns floor (its slot-vs-vrow TRADEOFF was
+    # validated by the round-4 single-vs-multi A/B); this factor only
+    # corrects the tuner's absolute tail pricing so core-coverage
+    # candidates rank against the tail they will actually pay.
+    ell_slot_factor: float = 1.5
     # where the constants came from — surfaced in TuneResult so a tuner
     # decision can be audited: "datasheet" (no measurement ran),
     # "measured:<platform>" (on-device microbenchmark), optionally
@@ -140,15 +152,21 @@ def predict_spmm_time(stats: dict, model: Optional[TpuCostModel] = None) -> floa
         # 12 GiB core 102.0 ms vs predicted-better 8 GiB+BCSR 105.1 ms).
         # Wide-row plans (h_local·dtype ≳ 2 KB) flip back to bandwidth-
         # bound, hence max() rather than replacement.
-        from pygim_tpu.core.partition import ell_issue_seconds
+        from pygim_tpu.core.partition import (
+            _ELL_SLOT_NS,
+            _ell_vrow_ns,
+        )
 
+        # slot term scaled by the measured multi-table correction
+        # (ell_slot_factor — see the field's calibration note); vrow
+        # term unchanged
         tail_bw = max(
             tail_bw,
-            ell_issue_seconds(
-                stats["ell_slots"],
-                stats.get("ell_vrows") or 0,
-                stats.get("ell_hidden"),
-            ),
+            (
+                stats["ell_slots"] * _ELL_SLOT_NS * m.ell_slot_factor
+                + (stats.get("ell_vrows") or 0)
+                * _ell_vrow_ns(stats.get("ell_hidden"))
+            ) * 1e-9,
         )
     t = tail_bw
     # hybrid dense core: HBM stream and MXU issue overlap — the core

@@ -714,3 +714,56 @@ def test_bcsr_probe_empty_tail(rng):
         budget_bytes=1 << 20, hidden=32,
     )
     assert est["captured_edges"] == 0 and est["tail_edges"] == 0
+
+
+def test_autotune_prices_stair_candidates(rng, tmp_path, monkeypatch):
+    """space=None includes hybrid_shape='stair' variants (round 5):
+    priced from plan_staircase coverage on the actual graph, single-chip
+    layouts only, no BCSR second-stage variants of a stair base."""
+    monkeypatch.setenv("PYGIM_TPU_TUNE_CACHE", str(tmp_path))
+    coo = random_coo(rng, nrows=3000, ncols=3000, nnz=30000, dtype="int8")
+    res = autotune(coo, hidden=32, n_devices=4, use_cache=False)
+    stair = [
+        (p, d)
+        for p, d, _, _ in res.candidates
+        if p.get("hybrid_shape") == "stair"
+    ]
+    assert stair, "no stair candidates priced"
+    assert all(d.get("layout", "single") == "single" for _, d in stair)
+    assert not any(
+        p.get("bcsr_bytes") for p, _ in stair
+    ), "stair bases must not grow BCSR variants"
+
+
+def test_stair_candidate_prefers_coverage_on_skewed_graph(
+    rng, tmp_path, monkeypatch
+):
+    """On a zipf graph too big for its core budget, the stair region
+    captures at least as many edges as the square — its predicted tail
+    must not exceed the square's at the same (budget, dtype)."""
+    monkeypatch.setenv("PYGIM_TPU_TUNE_CACHE", str(tmp_path))
+    from pygim_tpu.core.graph import CooGraph
+    from pygim_tpu.ops.spmm import SpmmConfig
+    from pygim_tpu.tune.autotuner import plan_statistics
+
+    deg = np.minimum(rng.zipf(1.4, 4000), 500)
+    deg = (deg * (80000 / deg.sum())).astype(np.int64) + 1
+    rows = np.repeat(np.arange(4000), deg)
+    cols = rng.integers(0, 4000, rows.size)
+    csr = CooGraph.from_edges(rows, cols, nrows=4000, ncols=4000).to_csr()
+    memo = {}
+    budget = 1 << 21
+    sq = plan_statistics(
+        csr, 32, SpmmConfig(backend="hybrid", hybrid_core_bytes=budget),
+        _memo=memo,
+    )
+    st = plan_statistics(
+        csr, 32,
+        SpmmConfig(
+            backend="hybrid", hybrid_core_bytes=budget,
+            hybrid_shape="stair",
+        ),
+        _memo=memo,
+    )
+    assert st["ell_slots"] <= sq["ell_slots"] * 1.05
+    assert st["core_bytes"] <= budget
