@@ -53,6 +53,9 @@ class Experiment:
                                        # tables (1 = single-table A/B)
     hybrid_core_bytes: int = 4 << 30   # hybrid backend core budget
     hybrid_dtype: str = ""             # "" = vals dtype; "bfloat16" option
+    hybrid_shape: str = "square"       # core region: square | stair
+                                       # (core/stair.py banded region)
+    stair_max_bands: int = 8           # stair: band budget
     bcsr_bytes: int = 0                # hybrid BCSR middle-tier budget
     bcsr_tile: int = 32                # BCSR tile rows
     bcsr_order: str = "rank"           # BCSR ordering (rank | rcm | lp)
@@ -122,6 +125,8 @@ class Experiment:
             ell_tables=self.ell_tables,
             hybrid_core_bytes=self.hybrid_core_bytes,
             hybrid_dtype=self.hybrid_dtype or None,
+            hybrid_shape=self.hybrid_shape,
+            stair_max_bands=self.stair_max_bands,
             bcsr_bytes=self.bcsr_bytes, bcsr_tile=self.bcsr_tile,
             bcsr_order=self.bcsr_order, bcsr_layout=self.bcsr_layout,
             hidden_hint=self.hidden,

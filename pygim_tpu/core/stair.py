@@ -152,8 +152,18 @@ def plan_staircase(
         # margin: approximate by largest cells; simple and rare (snap
         # overshoot is ≤ a few % of budget)
         j = int(np.argmax([(b[1] - b[0]) * b[2] for b in bands]))
-        bands[j][2] -= col_quant
+        # always land on a col_quant multiple — a band capped at n (full
+        # width) is n-aligned, and a plain -= col_quant from there left
+        # widths like 155653 (round-5 A/B prepare)
+        bands[j][2] = (bands[j][2] - 1) // col_quant * col_quant
         if bands[j][2] <= 0:
+            # bands must stay contiguous from rank 0 (the run path
+            # scatters concat(band products) to core_nodes[:last_hi]):
+            # give a popped MIDDLE band's rows to the narrower band
+            # below it (cells shrink); a popped LAST band's rows simply
+            # return to the tail
+            if j + 1 < len(bands):
+                bands[j + 1][0] = bands[j][0]
             bands.pop(j)
     return [tuple(b) for b in bands]
 
