@@ -99,6 +99,12 @@ class Experiment:
                                        # .py cluster_partition)
     repeat: int = 3
     tune: bool = False
+    data_tag: str = ""            # free-form provenance tag for the
+                                  # frozen name (e.g. "realfmt" = bytes
+                                  # read through the real-format
+                                  # parsers via a data_root override) —
+                                  # keeps such entries from clobbering
+                                  # the synthetic-path ledger records
 
     def frozen_name(self) -> str:
         """Deterministic result-file stem from the params
