@@ -1025,6 +1025,30 @@ class PreparedSpmm:
             off += share
         self.interleave = (slabs, steps, k)
 
+    def _core_scatter(self, dev, out, xc, acc):
+        """Add the dense-core product into ``out`` (node-id space),
+        dispatching on the storage layout. ``xc`` is the rank-gathered
+        payload ``take(x, core_nodes)``.
+
+        For the staircase layout each band scatter-adds its own
+        ``(rows_b, H)`` product — deliberately NO ``jnp.concatenate`` of
+        band products: the concat formulation MEASURED 261.7 ms on v5e
+        where per-band scatter-adds run 50.4 ms and tuple outputs
+        38.6 ms for the identical dots (round-5 isolation jobs; the
+        concat drags the whole 8-dot program into a pathological fusion
+        — sum of standalone dots is 64.2 ms)."""
+        if getattr(self, "stair", None) is not None:
+            cn = dev["core_nodes"]
+            for b, (lo, hi, w) in enumerate(self.stair):
+                p = _core_matmul(dev[f"stair{b}"], xc[:w], acc)
+                out = out.at[cn[lo:hi]].add(p.astype(out.dtype))
+            return out
+        core_out = self._core_product(dev, xc, acc)
+        cn = dev["core_nodes"]
+        return out.at[cn[: self.hybrid_k_eff]].add(
+            core_out.astype(out.dtype)
+        )
+
     def _core_product(self, dev, xc, acc):
         """Dense-core product independent of the storage layout (2-D
         ``dev["core"]``; interleaved per-table ``core3d`` slabs —
@@ -1032,7 +1056,9 @@ class PreparedSpmm:
         staircase bands, each dotted against its width's prefix of the
         rank-gathered ``xc``), trimmed to the un-padded
         ``hybrid_k_eff`` rows. Callers scatter the result with
-        ``core_nodes[:hybrid_k_eff]``."""
+        ``core_nodes[:hybrid_k_eff]`` — but prefer :meth:`_core_scatter`
+        on the hot paths: the stair branch here pays a measured-
+        pathological concat and exists only for phase diagnostics."""
         if getattr(self, "stair", None) is not None:
             outs = [
                 _core_matmul(dev[f"stair{b}"], xc[:w], acc)
@@ -1596,12 +1622,9 @@ class PreparedSpmm:
                         jnp.take(x, core_nodes, axis=0) / safe
                     ).astype(qdt)
                 )
-                # layout-independent (2-D core, interleaved core3d
-                # slabs, or stair bands); pad rows trimmed inside
-                core_out = self._core_product(dev, xc, acc)
-                out = out.at[core_nodes[: self.hybrid_k_eff]].add(
-                    core_out.astype(out.dtype)
-                )
+                # layout-independent core add (2-D core, interleaved
+                # core3d slabs, or stair bands via per-band scatters)
+                out = self._core_scatter(dev, out, xc, acc)
             if getattr(self, "has_bcsr", False):
                 # wide integer payloads (int16/int32: |q| up to 2^19)
                 # exceed bf16's exact-integer range — compute the tile
@@ -1709,13 +1732,16 @@ class PreparedSpmm:
                 jax.jit(tail_fn), x, *tail_args, iters=iters
             ) * 1e3
         if b == "hybrid" and self.hybrid_k_eff > 0:
-            # _core_product handles both layouts and trims interleave
-            # pad rows, so core_time prices the REAL k-row product (the
-            # phase split drives the interleave A/B — don't inflate it
-            # with zero-pad rows)
+            # core_time = the production-form core add (scatter form —
+            # a concat of stair band products measured 5x pathological,
+            # _core_scatter) into a zero output, trimmed of interleave
+            # pad rows, so the phase split prices what the fused
+            # program actually runs
             core = jax.jit(
-                lambda x, dv: self._core_product(
-                    dv, jnp.take(x, dv["core_nodes"], axis=0), jnp.float32
+                lambda x, dv: self._core_scatter(
+                    dv,
+                    jnp.zeros((self.nrows, x.shape[1]), jnp.float32),
+                    jnp.take(x, dv["core_nodes"], axis=0), jnp.float32,
                 )
             )
             out["core_time(ms)"] = device_time(
@@ -1823,15 +1849,12 @@ def _make_run(backend: str, prep: PreparedSpmm):
             else:
                 out = _ell_tail_all(x, dev, meta, nrows)
             if has_core and inter is None:
-                core_nodes = dev["core_nodes"]
-                # layout-dispatching product (square 2-D core or stair
-                # bands); rows beyond hybrid_k_eff in core_nodes are
-                # column-only rank entries (stair: widest band > rows)
-                core_out = prep._core_product(
-                    dev, jnp.take(x, core_nodes, axis=0), acc
-                )
-                out = out.at[core_nodes[:k_eff]].add(
-                    core_out.astype(out.dtype)
+                # layout-dispatching core add (square 2-D core or stair
+                # bands — per-band scatter-adds, never a concat of band
+                # products: measured 5x pathology, _core_scatter)
+                out = prep._core_scatter(
+                    dev, out,
+                    jnp.take(x, dev["core_nodes"], axis=0), acc,
                 )
             if has_bcsr:
                 # wide integer x (int16/int32 quantized payloads) exceeds
