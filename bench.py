@@ -104,17 +104,25 @@ def main():
     # best wins; explicit env pins collapse to one.
     env_dt = os.environ.get("PYGIM_BENCH_CORE_DTYPE")
     env_b = os.environ.get("PYGIM_BENCH_CORE_BYTES")
-    if env_dt or env_b:
-        attempts = [(env_dt or "int8", int(env_b or (12 << 30)))]
+    env_shape = os.environ.get("PYGIM_BENCH_CORE_SHAPE")
+    if env_dt or env_b or env_shape:
+        attempts = [(
+            env_dt or "int8", int(env_b or (12 << 30)),
+            env_shape or "square",
+        )]
         measure_top = 1
     else:
         attempts = [
-            ("int8", 12 << 30),       # measured best (107.5 ms)
-            ("int4", 8 << 30),        # measured 133.6 ms
-            ("bfloat16", 12 << 30),   # measured 144.7 ms; also the
-                                      # float-valued-graph fallback
-            ("bfloat16", 8 << 30),
-            ("bfloat16", 4 << 30),
+            # measured round 5: the staircase region captures 99.1% of
+            # edges at the same 12 GiB (square: 96.9%) — 75.8 ms vs
+            # 102.4 (docs/PERF.md round 5)
+            ("int8", 12 << 30, "stair"),
+            ("int8", 12 << 30, "square"),   # measured 102.4 ms
+            ("int4", 8 << 30, "square"),    # measured 133.6 ms
+            ("bfloat16", 12 << 30, "square"),  # 144.7 ms; float-valued
+                                               # -graph fallback
+            ("bfloat16", 8 << 30, "square"),
+            ("bfloat16", 4 << 30, "square"),
         ]
         # Default 1: three rounds of on-chip evidence agree int8-12GiB is
         # the best, and round 3's driver bench hit rc=124 chasing a second
@@ -124,8 +132,9 @@ def main():
     sample = graph.vals[:: max(1, graph.vals.size // 4096)]
     if not np.all(sample == np.round(sample)):
         attempts = [
-            (d, b) for d, b in attempts if d not in ("int4", "int8")
-        ] or [("bfloat16", 12 << 30)]
+            (d, b, s) for d, b, s in attempts
+            if d not in ("int4", "int8")
+        ] or [("bfloat16", 12 << 30, "square")]
     rng = np.random.default_rng(0)
     x = jnp.asarray(
         rng.standard_normal((graph.ncols, hidden)), dtype=jnp.float32
@@ -139,7 +148,7 @@ def main():
     dt = None
     nnz_unique = graph.nnz
     measured = 0
-    for i, (core_dtype, budget) in enumerate(attempts):
+    for i, (core_dtype, budget, shape) in enumerate(attempts):
         if dt is not None and time.time() > deadline:
             log(
                 f"deadline ({time.time()-t_start:.0f}s elapsed) — "
@@ -148,18 +157,17 @@ def main():
             break
         cfg = SpmmConfig(
             backend=backend, format="csr", hybrid_core_bytes=budget,
-            hybrid_dtype=core_dtype or None,
-            hybrid_shape=os.environ.get("PYGIM_BENCH_CORE_SHAPE", "square"),
+            hybrid_dtype=core_dtype or None, hybrid_shape=shape,
         )
         try:
             t0 = time.time()
             prep = prepare_spmm(graph, cfg)
-            log(f"prepare ({core_dtype} core, budget {budget >> 30} GiB): "
+            log(f"prepare ({core_dtype} {shape} core, budget {budget >> 30} GiB): "
                 f"{time.time()-t0:.1f}s")
             t0 = time.time()
             dt_i = device_time(prep.mul, x, iters=iters)
             log(f"timed (incl. compile {time.time()-t0:.0f}s): "
-                f"{dt_i*1e3:.1f} ms/iter ({core_dtype} {budget >> 30} GiB)")
+                f"{dt_i*1e3:.1f} ms/iter ({core_dtype} {shape} {budget >> 30} GiB)")
             measured += 1
             if dt is None or dt_i < dt:
                 dt = dt_i
