@@ -52,6 +52,11 @@ def main():
     # 1) bench.py candidates, built EXACTLY as bench.py builds them
     #    (defaults elsewhere => same prepare-cache key).
     bench_cfgs = [
+        # the round-5 headline candidate FIRST (stair int8-12GiB —
+        # 75.8 ms measured; bench.py ladder order)
+        SpmmConfig(backend="hybrid", format="csr",
+                   hybrid_core_bytes=12 << 30, hybrid_dtype="int8",
+                   hybrid_shape="stair"),
         SpmmConfig(backend="hybrid", format="csr",
                    hybrid_core_bytes=12 << 30, hybrid_dtype="int8"),
         SpmmConfig(backend="hybrid", format="csr",
@@ -62,7 +67,8 @@ def main():
     for cfg in bench_cfgs:
         t0 = time.time()
         prep = prepare_spmm(datasets["reddit"].graph, cfg)
-        log(f"reddit bench prep {cfg.hybrid_dtype}/"
+        log(f"reddit bench prep {cfg.hybrid_dtype}"
+            f"{'-stair' if cfg.hybrid_shape == 'stair' else ''}/"
             f"{cfg.hybrid_core_bytes >> 30}GiB: k={prep.hybrid_k_eff} "
             f"[{time.time()-t0:.0f}s]")
         del prep
