@@ -24,6 +24,13 @@ BASELINE_EXPERIMENTS = [
     # ~10 GiB but under-prices the tail — measured uniq 10 vs 12 GiB
     # (158 vs 138 ms) says bigger core wins; 13+ GiB is break-even at
     # best and risks HBM beside the dataset residency.
+    # round-5 measured best: the STAIRCASE core region — 75.9 ms /
+    # 1562.0 GB/s verified (coverage 99.1% vs the square's 96.9% at the
+    # same 12 GiB; core/stair.py, docs/PERF.md round 5)
+    Experiment(dataset="reddit", kind="spmm", sp_format="csr",
+               dtype="float32", hidden=256, backend="hybrid", phases=True,
+               hybrid_core_bytes=12 << 30, hybrid_dtype="int8",
+               hybrid_shape="stair"),
     Experiment(dataset="reddit", kind="spmm", sp_format="csr",
                dtype="float32", hidden=256, backend="hybrid", phases=True,
                hybrid_core_bytes=12 << 30, hybrid_dtype="int8"),
@@ -37,6 +44,10 @@ BASELINE_EXPERIMENTS = [
     # fidelity"; ROADMAP generator fidelity)
     Experiment(dataset="reddit-uniq", kind="spmm", sp_format="csr",
                dtype="float32", hidden=256, backend="hybrid", phases=True,
+               hybrid_core_bytes=12 << 30, hybrid_dtype="int8",
+               hybrid_shape="stair"),  # round 5: 81.6 ms verified
+    Experiment(dataset="reddit-uniq", kind="spmm", sp_format="csr",
+               dtype="float32", hidden=256, backend="hybrid", phases=True,
                hybrid_core_bytes=12 << 30, hybrid_dtype="int8"),
     Experiment(dataset="reddit-uniq", kind="spmm", sp_format="csr",
                dtype="float32", hidden=256, backend="hybrid", phases=True,
@@ -44,6 +55,11 @@ BASELINE_EXPERIMENTS = [
     # (2) 2-layer GCN Reddit FLT32 (with the per-layer activation check
     # the BASELINE validation clause requires) — round 4: 220.5 ms
     # end-to-end, validated (int8 core, multi-degree tail)
+    Experiment(dataset="reddit", kind="inference", model="gcn",
+               num_layers=2, dtype="float32", hidden=256, backend="hybrid",
+               hybrid_core_bytes=12 << 30, hybrid_dtype="int8",
+               hybrid_shape="stair",
+               validate=True),  # round 5: 154.5 ms validated
     Experiment(dataset="reddit", kind="inference", model="gcn",
                num_layers=2, dtype="float32", hidden=256, backend="hybrid",
                hybrid_core_bytes=12 << 30, hybrid_dtype="int8",
