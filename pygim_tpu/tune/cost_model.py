@@ -69,7 +69,12 @@ class TpuCostModel:
     # validated by the round-4 single-vs-multi A/B); this factor only
     # corrects the tuner's absolute tail pricing so core-coverage
     # candidates rank against the tail they will actually pay.
-    ell_slot_factor: float = 1.5
+    # 1.2, not the raw 1.5 fit: at 1.5 the arxiv argmin flipped to
+    # blocked (measured 45.9 ms vs the hybrid it abandoned at 39.2) —
+    # small-graph tails sit closer to the single-table floor, and the
+    # argmins this factor exists to fix (reddit BCSR-vs-plain, stair
+    # ranking) hold at 1.2 on every tracked graph (round-5 sweep).
+    ell_slot_factor: float = 1.2
     # where the constants came from — surfaced in TuneResult so a tuner
     # decision can be audited: "datasheet" (no measurement ran),
     # "measured:<platform>" (on-device microbenchmark), optionally
