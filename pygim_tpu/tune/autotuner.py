@@ -638,9 +638,15 @@ def autotune(
         pts, seen = [], set()
         # staircase variants of every hybrid point (round 5): same
         # budgets/dtypes with the superlevel-set banded region —
-        # single-chip only (filtered below), priced via plan_staircase
+        # single-chip only (filtered below), priced via plan_staircase.
+        # int4 excluded BY MEASUREMENT: the nibble-packed band dots lose
+        # the shape's gain (products stair-int4-6GiB measured 1958 ms vs
+        # the square's 1888 — per-band unpack overhead the model does
+        # not price; docs/PERF.md round 5)
         stair_pts = [
-            {**q, "hybrid_shape": "stair"} for q in HYBRID_SPACE
+            {**q, "hybrid_shape": "stair"}
+            for q in HYBRID_SPACE
+            if q.get("hybrid_dtype") != "int4"
         ]
         for p in list(DEFAULT_SPACE) + list(HYBRID_SPACE) + stair_pts:
             j = json.dumps(p, sort_keys=True)
