@@ -113,11 +113,14 @@ def main():
         measure_top = 1
     else:
         attempts = [
-            # measured round 5: the staircase region captures 99.1% of
-            # edges at the same 12 GiB (square: 96.9%) — 75.8 ms vs
-            # 102.4 (docs/PERF.md round 5)
+            # measured round 5 (docs/PERF.md): the staircase region
+            # captures 98.3% of edges at 8 GiB (square-12: 96.9%) and
+            # spends 2/3 of the square-12's MXU flops — 70.7 ms, the
+            # tuner's own argmin. stair-12 measured 75.8; square-12
+            # 102.4.
+            ("int8", 8 << 30, "stair"),
             ("int8", 12 << 30, "stair"),
-            ("int8", 12 << 30, "square"),   # measured 102.4 ms
+            ("int8", 12 << 30, "square"),
             ("int4", 8 << 30, "square"),    # measured 133.6 ms
             ("bfloat16", 12 << 30, "square"),  # 144.7 ms; float-valued
                                                # -graph fallback
