@@ -52,8 +52,11 @@ def main():
     # 1) bench.py candidates, built EXACTLY as bench.py builds them
     #    (defaults elsewhere => same prepare-cache key).
     bench_cfgs = [
-        # the round-5 headline candidate FIRST (stair int8-12GiB —
-        # 75.8 ms measured; bench.py ladder order)
+        # the round-5 headline candidate FIRST (stair int8-8GiB, the
+        # tuner-found argmin — 70.7 ms measured; bench.py ladder order)
+        SpmmConfig(backend="hybrid", format="csr",
+                   hybrid_core_bytes=8 << 30, hybrid_dtype="int8",
+                   hybrid_shape="stair"),
         SpmmConfig(backend="hybrid", format="csr",
                    hybrid_core_bytes=12 << 30, hybrid_dtype="int8",
                    hybrid_shape="stair"),

@@ -1,8 +1,11 @@
 #!/bin/bash
 # Warm the round-end driver bench: exact same command/config the driver
 # runs, so the prep npz + XLA compile caches are hot. Gated on the
-# host-side prebuild having produced the int8/12GiB reddit prep cache.
-until grep -q "reddit bench prep int8/12GiB" /tmp/prebuild.log 2>/dev/null; do
+# host-side prebuild having produced the headline prep cache
+# (round 5: the STAIR int8-8GiB candidate leads the ladder; the
+# prebuild logs it as int8-stair/12GiB + the 8 GiB sibling — gate on
+# the first stair line).
+until grep -q "reddit bench prep int8-stair" /tmp/prebuild.log 2>/dev/null; do
   sleep 30
 done
 cd /root/repo
